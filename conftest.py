@@ -1,14 +1,21 @@
 """Pytest root conftest: force JAX onto a virtual 8-device CPU mesh.
 
 Multi-chip sharding (dp/tp meshes) is tested on virtual CPU devices; bench.py
-and real generation run on TPU. Must run before the first `import jax`.
+and real generation run on TPU. The host image pre-imports jax via
+sitecustomize and pins JAX_PLATFORMS to the TPU plugin, so we must switch the
+platform via jax.config *after* import (backends are not initialized yet at
+conftest time) and set XLA_FLAGS before first device use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,165 @@
+"""Model/architecture configurations.
+
+Explicit frozen dataclasses replace the reference's scattered module-level
+globals and HF config dicts (reference: models/models.py:11-14,
+generate.py:104-115). Every config is hashable so it can be a static argument
+to jitted functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 77
+    # "quick_gelu" for OpenAI CLIP (SD1.x), "gelu" for OpenCLIP (SD2.x)
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D",
+    )
+    up_block_types: tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+    )
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    # Number of attention heads per resolution level. (In SD1.x HF configs this
+    # is the `attention_head_dim=8` legacy quirk: 8 *heads*, head_dim = C/8.
+    # In SD2.x it's per-level head counts with head_dim 64.)
+    num_attention_heads: tuple[int, ...] = (8, 8, 8, 8)
+    transformer_layers_per_block: int = 1
+    norm_num_groups: int = 32
+    # SD2.x projects in/out of the transformer with Linear instead of 1x1 conv.
+    use_linear_projection: bool = False
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+    # GLIGEN grounding adapters (gated self-attention + PositionNet).
+    use_gligen: bool = False
+    gligen_fourier_freqs: int = 8
+    gligen_max_objs: int = 30
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    def head_dim(self, channels: int, level: int) -> int:
+        return channels // self.num_attention_heads[level]
+
+
+@dataclass(frozen=True)
+class SDConfig:
+    """A full Stable Diffusion model family configuration."""
+
+    key: str = "runwayml/stable-diffusion-v1-5"
+    unet: UNetConfig = field(default_factory=UNetConfig)
+    clip: CLIPTextConfig = field(default_factory=CLIPTextConfig)
+    vae: VAEConfig = field(default_factory=VAEConfig)
+    height: int = 512
+    width: int = 512
+    # bfloat16 on TPU replaces the reference's fp16/autocast switches
+    # (models.py:29-39, lmd_plus.py:227).
+    dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def latent_height(self) -> int:
+        return self.height // 8
+
+    @property
+    def latent_width(self) -> int:
+        return self.width // 8
+
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def sd15() -> SDConfig:
+    return SDConfig(key="runwayml/stable-diffusion-v1-5")
+
+
+def sd14_gligen() -> SDConfig:
+    """SD v1.4 with GLIGEN grounding adapters (LMD+'s base model,
+    'gligen/diffusers-generation-text-box' — reference generate.py:105-111)."""
+    return SDConfig(
+        key="gligen/diffusers-generation-text-box",
+        unet=UNetConfig(use_gligen=True),
+    )
+
+
+def sd21_base() -> SDConfig:
+    return SDConfig(
+        key="stabilityai/stable-diffusion-2-1-base",
+        unet=UNetConfig(
+            cross_attention_dim=1024,
+            num_attention_heads=(5, 10, 20, 20),
+            use_linear_projection=True,
+        ),
+        clip=CLIPTextConfig(
+            hidden_size=1024,
+            intermediate_size=4096,
+            num_layers=23,
+            num_heads=16,
+            hidden_act="gelu",
+        ),
+    )
+
+
+def tiny_test() -> SDConfig:
+    """A miniature config for fast CPU tests: same topology class as SD1.5
+    (cross-attn down/up blocks, mid block, GLIGEN-capable) at toy width."""
+    return SDConfig(
+        key="tiny-test",
+        unet=UNetConfig(
+            block_out_channels=(32, 64),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            layers_per_block=1,
+            cross_attention_dim=32,
+            num_attention_heads=(2, 2),
+            norm_num_groups=8,
+            use_gligen=True,
+            gligen_max_objs=8,
+        ),
+        clip=CLIPTextConfig(
+            vocab_size=1024, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=2,
+        ),
+        vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8),
+        height=64,
+        width=64,
+        dtype="float32",
+    )
+
+
+SD_CONFIGS = {
+    "runwayml/stable-diffusion-v1-5": sd15,
+    "gligen/diffusers-generation-text-box": sd14_gligen,
+    "stabilityai/stable-diffusion-2-1-base": sd21_base,
+    "tiny-test": tiny_test,
+}

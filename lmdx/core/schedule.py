@@ -1,0 +1,155 @@
+"""Diffusion noise schedules and sampler steps as static arrays.
+
+TPU-first redesign of the scheduler layer: instead of a stateful scheduler
+object whose `num_inference_steps` is mutated per step to handle non-uniform
+grids (reference: diffusers DDIMScheduler + utils/schedule.py:10-19), a
+schedule here is a pair of *static* arrays `(timesteps, prev_timesteps)`
+precomputed on the host. Every sampler step receives its exact `(t, prev_t)`
+pair, which makes truncated "fast" schedules, inversion, and img2img all the
+same code path inside `lax.scan` with fully static shapes.
+
+Parity notes:
+- betas/alphas: scaled-linear (sqrt-space linspace) with SD's
+  beta_start=0.00085, beta_end=0.012, 1000 train steps.
+- timestep grid: leading-spaced `arange(n) * (1000 // n) + steps_offset(=1)`,
+  matching diffusers DDIMScheduler.set_timesteps for SD.
+- fast schedule: keep the first `fast_after_steps` steps, then every
+  `fast_rate`-th (reference utils/schedule.py:4-8).
+- final step uses alpha_cumprod[0] (set_alpha_to_one=False in SD configs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Schedule(NamedTuple):
+    """Static description of one sampling run."""
+
+    timesteps: jnp.ndarray        # (T,) int32, descending
+    prev_timesteps: jnp.ndarray   # (T,) int32; <0 means "final" step
+    alphas_cumprod: jnp.ndarray   # (num_train_timesteps,) float32
+    final_alpha_cumprod: jnp.ndarray  # scalar float32
+    init_noise_sigma: float = 1.0
+
+    @property
+    def num_steps(self) -> int:
+        return self.timesteps.shape[0]
+
+
+def make_alphas_cumprod(
+    num_train_timesteps: int = 1000,
+    beta_start: float = 0.00085,
+    beta_end: float = 0.012,
+    beta_schedule: str = "scaled_linear",
+) -> np.ndarray:
+    if beta_schedule == "scaled_linear":
+        betas = np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps,
+                            dtype=np.float64) ** 2
+    elif beta_schedule == "linear":
+        betas = np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float64)
+    else:
+        raise ValueError(beta_schedule)
+    return np.cumprod(1.0 - betas).astype(np.float32)
+
+
+def ddim_timestep_grid(num_inference_steps: int, num_train_timesteps: int = 1000,
+                       steps_offset: int = 1) -> np.ndarray:
+    step_ratio = num_train_timesteps // num_inference_steps
+    timesteps = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
+    return (timesteps + steps_offset).astype(np.int64)
+
+
+def fast_schedule_timesteps(timesteps: np.ndarray, fast_after_steps: int,
+                            fast_rate: int) -> np.ndarray:
+    """Truncate a timestep grid: full resolution up to `fast_after_steps`,
+    then every `fast_rate`-th step. Used when the tail of a per-box pass only
+    feeds mask extraction and need not be precise (lmd.py:278)."""
+    if fast_after_steps >= len(timesteps) - 1:
+        return timesteps
+    return np.concatenate([timesteps[:fast_after_steps], timesteps[fast_after_steps + 1 :: fast_rate]])
+
+
+def make_schedule(
+    num_inference_steps: int,
+    num_train_timesteps: int = 1000,
+    fast_after_steps: int | None = None,
+    fast_rate: int = 2,
+    alphas_cumprod: np.ndarray | None = None,
+) -> Schedule:
+    if alphas_cumprod is None:
+        alphas_cumprod = make_alphas_cumprod(num_train_timesteps)
+    timesteps = ddim_timestep_grid(num_inference_steps, num_train_timesteps)
+    if fast_after_steps is not None:
+        timesteps = fast_schedule_timesteps(timesteps, fast_after_steps, fast_rate)
+
+    # prev_timesteps[i] is the *actual* next grid point; the final entry steps
+    # past zero by the local gap (subsuming the reference's dynamic
+    # num_inference_steps adjustment, utils/schedule.py:10-19).
+    if len(timesteps) > 1:
+        last_gap = int(timesteps[-2] - timesteps[-1])
+    else:
+        last_gap = num_train_timesteps // num_inference_steps
+    prev = np.concatenate([timesteps[1:], [timesteps[-1] - last_gap]])
+
+    return Schedule(
+        timesteps=jnp.asarray(timesteps, dtype=jnp.int32),
+        prev_timesteps=jnp.asarray(prev, dtype=jnp.int32),
+        alphas_cumprod=jnp.asarray(alphas_cumprod, dtype=jnp.float32),
+        final_alpha_cumprod=jnp.asarray(alphas_cumprod[0], dtype=jnp.float32),
+    )
+
+
+def _alpha_at(schedule: Schedule, t: jnp.ndarray) -> jnp.ndarray:
+    """alphas_cumprod[t], mapping t < 0 to the final alpha."""
+    safe_t = jnp.clip(t, 0, schedule.alphas_cumprod.shape[0] - 1)
+    return jnp.where(t >= 0, schedule.alphas_cumprod[safe_t], schedule.final_alpha_cumprod)
+
+
+def ddim_step(schedule: Schedule, eps: jnp.ndarray, t: jnp.ndarray, prev_t: jnp.ndarray,
+              sample: jnp.ndarray) -> jnp.ndarray:
+    """One deterministic DDIM update x_t -> x_{prev_t} (eta = 0,
+    epsilon-prediction, no clipping — SD inference configuration)."""
+    dtype = sample.dtype
+    alpha_t = _alpha_at(schedule, t).astype(jnp.float32)
+    alpha_prev = _alpha_at(schedule, prev_t).astype(jnp.float32)
+
+    sample32 = sample.astype(jnp.float32)
+    eps32 = eps.astype(jnp.float32)
+    x0 = (sample32 - jnp.sqrt(1.0 - alpha_t) * eps32) / jnp.sqrt(alpha_t)
+    out = jnp.sqrt(alpha_prev) * x0 + jnp.sqrt(1.0 - alpha_prev) * eps32
+    return out.astype(dtype)
+
+
+def ddim_inverse_step(schedule: Schedule, eps: jnp.ndarray, t: jnp.ndarray,
+                      next_t: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
+    """One DDIM inversion update x_t -> x_{next_t} (next_t > t); used by
+    `pipelines.invert`-equivalent img2img initialization."""
+    dtype = sample.dtype
+    alpha_t = _alpha_at(schedule, t).astype(jnp.float32)
+    alpha_next = _alpha_at(schedule, next_t).astype(jnp.float32)
+    sample32 = sample.astype(jnp.float32)
+    eps32 = eps.astype(jnp.float32)
+    x0 = (sample32 - jnp.sqrt(1.0 - alpha_t) * eps32) / jnp.sqrt(alpha_t)
+    out = jnp.sqrt(alpha_next) * x0 + jnp.sqrt(1.0 - alpha_next) * eps32
+    return out.astype(dtype)
+
+
+def add_noise(schedule: Schedule, x0: jnp.ndarray, noise: jnp.ndarray,
+              t: jnp.ndarray) -> jnp.ndarray:
+    """Forward-process q(x_t | x_0); used for img2img / SDXL refinement."""
+    alpha_t = _alpha_at(schedule, t).astype(jnp.float32)
+    out = jnp.sqrt(alpha_t) * x0.astype(jnp.float32) + jnp.sqrt(1.0 - alpha_t) * noise.astype(
+        jnp.float32
+    )
+    return out.astype(x0.dtype)
+
+
+def guidance_step_size(schedule: Schedule, t: jnp.ndarray) -> jnp.ndarray:
+    """Step-size factor for energy-guidance latent updates with a DDIM
+    (sigma-less) schedule: sqrt(1 - alpha_cumprod[t]), the classifier-guidance
+    scaling (reference models/pipelines.py:60-69)."""
+    return jnp.sqrt(1.0 - _alpha_at(schedule, t))

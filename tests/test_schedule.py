@@ -1,0 +1,89 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmdx.core import schedule as sched
+
+
+def test_ddim_timestep_grid():
+    ts = sched.ddim_timestep_grid(50)
+    assert len(ts) == 50
+    assert ts[0] == 981 and ts[-1] == 1
+    assert np.all(np.diff(ts) == -20)
+
+
+def test_alphas_cumprod_sd_values():
+    ac = sched.make_alphas_cumprod()
+    assert ac.shape == (1000,)
+    # endpoint values of the SD scaled-linear schedule
+    assert ac[0] == pytest.approx(1 - 0.00085, abs=1e-5)
+    assert 0.0 < ac[-1] < 0.01
+    assert np.all(np.diff(ac) < 0)
+
+
+def test_fast_schedule_truncation():
+    ts = sched.ddim_timestep_grid(50)
+    fast = sched.fast_schedule_timesteps(ts, fast_after_steps=25, fast_rate=2)
+    np.testing.assert_array_equal(fast[:25], ts[:25])
+    np.testing.assert_array_equal(fast[25:], ts[26::2])
+    # no-op when fast_after_steps covers the whole grid
+    np.testing.assert_array_equal(sched.fast_schedule_timesteps(ts, 49, 2), ts)
+
+
+def test_schedule_prev_timesteps():
+    s = sched.make_schedule(50)
+    np.testing.assert_array_equal(np.asarray(s.timesteps[1:]), np.asarray(s.prev_timesteps[:-1]))
+    assert int(s.prev_timesteps[-1]) == 1 - 20  # steps past zero -> final alpha
+
+    s_fast = sched.make_schedule(50, fast_after_steps=25, fast_rate=2)
+    # the fast tail has gap 40; prev always equals the actual next grid point
+    gaps = np.asarray(s_fast.timesteps[:-1]) - np.asarray(s_fast.prev_timesteps[:-1])
+    assert set(gaps[:24]) == {20}
+    assert set(gaps[26:]) == {40}
+
+
+def test_ddim_step_matches_closed_form():
+    s = sched.make_schedule(50)
+    x = jnp.ones((1, 4, 4, 4))
+    eps = jnp.full((1, 4, 4, 4), 0.5)
+    t, prev_t = s.timesteps[0], s.prev_timesteps[0]
+    out = sched.ddim_step(s, eps, t, prev_t, x)
+
+    a_t = float(s.alphas_cumprod[int(t)])
+    a_p = float(s.alphas_cumprod[int(prev_t)])
+    x0 = (1.0 - np.sqrt(1 - a_t) * 0.5) / np.sqrt(a_t)
+    expected = np.sqrt(a_p) * x0 + np.sqrt(1 - a_p) * 0.5
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+def test_ddim_final_step_uses_final_alpha():
+    s = sched.make_schedule(50)
+    x = jnp.ones((1, 2, 2, 4))
+    eps = jnp.zeros((1, 2, 2, 4))
+    out = sched.ddim_step(s, eps, s.timesteps[-1], s.prev_timesteps[-1], x)
+    a_t = float(s.alphas_cumprod[1])
+    expected = np.sqrt(float(s.final_alpha_cumprod)) / np.sqrt(a_t)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+def test_add_noise_and_inverse_roundtrip():
+    s = sched.make_schedule(50)
+    x0 = jnp.ones((1, 2, 2, 4)) * 0.3
+    noise = jnp.ones((1, 2, 2, 4))
+    t = jnp.array(501)
+    xt = sched.add_noise(s, x0, noise, t)
+    a = float(s.alphas_cumprod[501])
+    np.testing.assert_allclose(
+        np.asarray(xt), np.sqrt(a) * 0.3 + np.sqrt(1 - a), rtol=1e-5
+    )
+    # inverse of ddim_step with the same eps recovers the sample
+    prev = jnp.array(481)
+    down = sched.ddim_step(s, noise, t, prev, xt)
+    up = sched.ddim_inverse_step(s, noise, prev, t, down)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(xt), rtol=1e-4)
+
+
+def test_guidance_step_size():
+    s = sched.make_schedule(50)
+    g = sched.guidance_step_size(s, jnp.array(981))
+    assert float(g) == pytest.approx(np.sqrt(1 - float(s.alphas_cumprod[981])), rel=1e-6)
