@@ -1,0 +1,290 @@
+"""Cross-attention energy guidance: losses over attention taps + the
+gradient-driven latent update loop.
+
+This is the TPU-native redesign of the reference guidance engine
+(utils/guidance.py, models/pipelines.py:16-82):
+
+- Losses are pure functions of the tap pytree returned by the UNet — no
+  mutated dicts.
+- The per-step optimization loop (`while loss > threshold and iter <
+  max_iter`) becomes a `lax.while_loop` whose body differentiates the
+  cond-only UNet forward with `jax.value_and_grad` (replacing
+  latents.requires_grad_/autograd.grad, pipelines.py:40-73).
+- Top-k selections use sort+cumsum with *traced* k so that per-prompt box
+  sizes never trigger recompilation.
+- All per-prompt structure (token positions, rasterized box masks, top-k
+  sizes) is precomputed on the host into fixed-size padded arrays
+  (`GuidanceData`), so one compiled sampler serves every prompt.
+
+Loss parity (reference utils/guidance.py):
+- max-based foreground/background loss: guidance.py:131-144
+- reference-CA (attention transfer) loss: guidance.py:150-242
+- normalization over objects x attention keys: guidance.py:244-286
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import boxes as boxlib
+from ..nn.attention import AttnKey, TapSpec
+
+# Default guidance attention keys (reference models/pipelines.py:14).
+DEFAULT_GUIDANCE_ATTN_KEYS: tuple[AttnKey, ...] = (
+    ("mid", 0, 0, 0), ("up", 1, 0, 0), ("up", 1, 1, 0), ("up", 1, 2, 0),
+)
+
+
+@dataclass(frozen=True)
+class GuidanceSpec:
+    """Static guidance hyperparameters (defaults: backward guidance,
+    generation/backward_guidance.py:46-49; LMD overrides in methods/)."""
+
+    keys: tuple[AttnKey, ...] = DEFAULT_GUIDANCE_ATTN_KEYS
+    loss_scale: float = 30.0
+    loss_threshold: float = 0.2
+    max_index_step: int = 10
+    fg_top_p: float = 0.2
+    bg_top_p: float = 0.2
+    fg_weight: float = 1.0
+    bg_weight: float = 1.0
+    use_ref_ca: bool = False
+    ref_ca_loss_weight: float = 2.0
+
+    @property
+    def tap_spec(self) -> TapSpec:
+        # Guidance forwards keep the XLA attention path for clean gradients
+        # (reference disables flash attention under guidance).
+        return TapSpec(keys=self.keys, fused=False)
+
+
+# Traced, padded per-prompt guidance inputs — a plain dict pytree with keys:
+#   positions (O, P) i32 ; pos_valid (O, P) f32 ; pos_count (O,) f32
+#   obj_valid (O,) f32 ; num_objects () f32
+#   masks[key] (O, n_key) f32 ; kfg[key]/kbg[key] (O,) i32
+#   ref_masks[key] (Bx, n_key) f32 (if ref-CA)
+#   box_word_idx (Bx,) i32 ; box_weight (Bx,) f32
+GuidanceData = dict
+
+
+def key_resolution(key: AttnKey, latent_hw: tuple[int, int], num_levels: int):
+    """Spatial resolution (H, W) of the attention map at `key`."""
+    place, idx = key[0], key[1]
+    h, w = latent_hw
+    if place == "down":
+        f = 2**idx
+    elif place == "mid":
+        f = 2 ** (num_levels - 1)
+    elif place == "up":
+        f = 2 ** (num_levels - 1 - idx)
+    else:
+        raise ValueError(place)
+    return h // f, w // f
+
+
+def _boxes_to_mask(obj_boxes, H, W):
+    mask = np.zeros((H, W), np.float32)
+    for box in obj_boxes:
+        m = boxlib.box_to_mask(box, H, W)
+        mask = np.maximum(mask, m)
+    return mask
+
+
+def make_guidance_data(
+    bboxes,
+    object_positions,
+    spec: GuidanceSpec,
+    latent_hw: tuple[int, int],
+    num_levels: int,
+    word_token_indices=None,
+    ref_box_to_obj=None,
+    max_objs: int = 8,
+    max_positions: int = 8,
+) -> GuidanceData:
+    """Precompute padded guidance arrays on the host.
+
+    bboxes: per-object normalized boxes — either one box per object or a list
+        of boxes per object (the reference's two/three-level convention,
+        guidance.py:107-109).
+    object_positions: per-object token-index lists in the cond prompt.
+    word_token_indices: per-object word-token index (ref-CA target column).
+    ref_box_to_obj: for ref-CA, mapping flattened-box -> object index.
+    """
+    O = max_objs
+    num_objects = len(bboxes)
+    if num_objects > O:
+        raise ValueError(f"{num_objects} objects > max_objs={O}; raise max_objs")
+
+    norm_boxes = [b if b and isinstance(b[0], (list, tuple)) else [b] for b in bboxes]
+
+    positions = np.zeros((O, max_positions), np.int32)
+    pos_count = np.ones((O,), np.float32)  # ones: avoid 0/0 on padded rows
+    obj_valid = np.zeros((O,), np.float32)
+    for i, pos in enumerate(object_positions):
+        pos = list(pos)[:max_positions]
+        positions[i, : len(pos)] = pos
+        pos_count[i] = max(len(pos), 1)
+        obj_valid[i] = 1.0
+    pos_valid = (np.arange(max_positions)[None] < pos_count[:, None]).astype(np.float32)
+    pos_valid *= obj_valid[:, None]
+
+    data = GuidanceData(
+        positions=jnp.asarray(positions),
+        pos_valid=jnp.asarray(pos_valid),
+        pos_count=jnp.asarray(pos_count),
+        obj_valid=jnp.asarray(obj_valid),
+        num_objects=jnp.asarray(float(max(num_objects, 1))),
+        masks={},
+        kfg={},
+        kbg={},
+    )
+
+    for key in spec.keys:
+        H, W = key_resolution(key, latent_hw, num_levels)
+        masks = np.zeros((O, H * W), np.float32)
+        kfg = np.ones((O,), np.int32)
+        kbg = np.ones((O,), np.int32)
+        for i, obj_boxes in enumerate(norm_boxes):
+            m = _boxes_to_mask(obj_boxes, H, W)
+            masks[i] = m.reshape(-1)
+            kfg[i] = max(int(m.sum() * spec.fg_top_p), 1)
+            kbg[i] = max(int((1 - m).sum() * spec.bg_top_p), 1)
+        data["masks"][key] = jnp.asarray(masks)
+        data["kfg"][key] = jnp.asarray(kfg)
+        data["kbg"][key] = jnp.asarray(kbg)
+
+    if spec.use_ref_ca:
+        if word_token_indices is None or ref_box_to_obj is None:
+            raise ValueError("ref-CA needs word_token_indices and ref_box_to_obj")
+        flat_boxes = [b for obj_boxes in norm_boxes for b in obj_boxes]
+        Bx = len(flat_boxes)
+        boxes_per_obj = np.bincount(ref_box_to_obj, minlength=num_objects)
+        box_word_idx = np.zeros((Bx,), np.int32)
+        box_weight = np.zeros((Bx,), np.float32)
+        for b, obj in enumerate(ref_box_to_obj):
+            box_word_idx[b] = word_token_indices[obj]
+            box_weight[b] = spec.ref_ca_loss_weight / max(int(boxes_per_obj[obj]), 1)
+        data["ref_masks"] = {}
+        for key in spec.keys:
+            H, W = key_resolution(key, latent_hw, num_levels)
+            masks = np.zeros((Bx, H * W), np.float32)
+            for b, box in enumerate(flat_boxes):
+                masks[b] = boxlib.box_to_mask(box, H, W).reshape(-1)
+            data["ref_masks"][key] = jnp.asarray(masks)
+        data["box_word_idx"] = jnp.asarray(box_word_idx)
+        data["box_weight"] = jnp.asarray(box_weight)
+
+    return data
+
+
+def _topk_mean(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Mean of the k largest entries along the last axis; k is traced.
+
+    x: (..., n); k broadcastable to x.shape[:-1]. Equivalent to
+    `x.topk(k).values.mean(-1)` with a dynamic k (reference guidance.py:143).
+    """
+    s = jnp.sort(x, axis=-1)[..., ::-1]
+    c = jnp.cumsum(s, axis=-1)
+    k = jnp.broadcast_to(k, x.shape[:-1])
+    kth = jnp.take_along_axis(c, (k - 1)[..., None], axis=-1)[..., 0]
+    return kth / k.astype(x.dtype)
+
+
+def ca_loss(taps: dict, data: GuidanceData, spec: GuidanceSpec,
+            ref_taps: dict | None = None) -> jnp.ndarray:
+    """Total cross-attention energy for one (cond-only) UNet forward.
+
+    taps: {AttnKey: (1, heads, n, L)} from the guidance forward.
+    ref_taps: {AttnKey: (Bx, heads, n)} reference maps for this timestep
+        (attention transfer from the per-box passes).
+    Returns the *unscaled* loss (multiply by spec.loss_scale for updates).
+    """
+    total = jnp.float32(0.0)
+    positions = data["positions"]           # (O, P)
+    O, P = positions.shape
+
+    for key in spec.keys:
+        attn = taps[key][0].astype(jnp.float32)  # (heads, n, L)
+        heads, n, L = attn.shape
+        sel = jnp.take(attn, positions.reshape(-1), axis=-1)
+        sel = sel.reshape(heads, n, O, P).transpose(2, 3, 0, 1)  # (O, P, heads, n)
+
+        mask = data["masks"][key]  # (O, n)
+        m = mask[:, None, None, :]
+        fg_mean = _topk_mean(sel * m, data["kfg"][key][:, None, None])       # (O, P, heads)
+        bg_mean = _topk_mean(sel * (1.0 - m), data["kbg"][key][:, None, None])
+
+        per_pos = ((1.0 - fg_mean).sum(-1) * spec.fg_weight
+                   + bg_mean.sum(-1) * spec.bg_weight)          # (O, P) sum over heads
+        per_obj = (per_pos * data["pos_valid"]).sum(-1) / data["pos_count"]
+        total = total + (per_obj * data["obj_valid"]).sum()
+
+    num_attn = len(spec.keys)
+    total = total / (data["num_objects"] * num_attn)
+
+    if spec.use_ref_ca and ref_taps is not None:
+        ref_total = jnp.float32(0.0)
+        eps = 1e-5
+        for key in spec.keys:
+            attn = taps[key][0].astype(jnp.float32)  # (heads, n, L)
+            tgt = jnp.take(attn, data["box_word_idx"], axis=-1)   # (heads, n, Bx)
+            tgt = tgt.transpose(2, 0, 1)                          # (Bx, heads, n)
+            ref = ref_taps[key].astype(jnp.float32)               # (Bx, heads, n)
+            mask = data["ref_masks"][key][:, None, :]             # (Bx, 1, n)
+
+            tgt_m = tgt * mask
+            tgt_norm = tgt_m / (tgt_m.sum(-1, keepdims=True) + eps)
+            ref_m = ref * mask
+            ref_norm = ref_m / (ref_m.sum(-1, keepdims=True) + eps)
+            act = jnp.abs(tgt_norm - ref_norm).sum(-1)            # (Bx, heads)
+            ref_total = ref_total + (act.mean(-1) * data["box_weight"]).sum()
+        total = total + ref_total / (data["num_objects"] * num_attn)
+
+    return total
+
+
+def guidance_update(
+    unet_apply,
+    latents: jnp.ndarray,
+    loss_in: jnp.ndarray,
+    step_size: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    data: GuidanceData,
+    spec: GuidanceSpec,
+    ref_taps: dict | None = None,
+):
+    """The per-step guidance optimization loop.
+
+    unet_apply: latents -> taps dict (cond-only forward with spec.tap_spec).
+    step_size: guidance LR factor for this t (sqrt(1 - alpha_bar_t)).
+    max_iter: traced iteration budget for this step index.
+    Returns (latents, last_loss). Loop semantics parity:
+    models/pipelines.py:16-82 (threshold on de-scaled loss, iteration cap,
+    update latents -= grad * scale).
+    """
+
+    def loss_fn(lat):
+        taps = unet_apply(lat)
+        return ca_loss(taps, data, spec, ref_taps=ref_taps) * spec.loss_scale
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def cond(state):
+        _, loss, it = state
+        return jnp.logical_and(loss / spec.loss_scale > spec.loss_threshold,
+                               it < max_iter)
+
+    def body(state):
+        lat, _, it = state
+        loss, grad = grad_fn(lat)
+        lat = lat - grad * step_size
+        return (lat, loss, it + 1)
+
+    latents, loss, _ = jax.lax.while_loop(
+        cond, body, (latents, loss_in, jnp.int32(0))
+    )
+    return latents, loss

@@ -1,0 +1,66 @@
+"""Seeded latent-noise construction and foreground/background blending.
+
+Parity target: utils/latents.py:7-35,120-160 and the seed-derivation scheme of
+generate.py. JAX PRNG cannot reproduce torch's sampler bit-for-bit (SURVEY.md
+§7 "Seed parity"), so parity here means: the same seed-derivation *structure*
+(background seed, per-box fg seed = fg_seed_start + idx, collision bump
++12345), deterministic reruns, and the same blending math.
+
+Noise is drawn in float32 and cast afterwards — drawing directly in low
+precision would change the sample stream (reference latents.py:10-16).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SEED_COLLISION_BUMP = 12345  # reference utils/latents.py:144-147
+
+
+def noise_from_seed(seed: int, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """Standard-normal latent noise for an integer seed (fp32 then cast)."""
+    key = jax.random.key(seed)
+    return jax.random.normal(key, shape, dtype=jnp.float32).astype(dtype)
+
+
+def blend_latents(latents_bg: jnp.ndarray, latents_fg: jnp.ndarray,
+                  fg_mask: jnp.ndarray, fg_blending_ratio: float = 0.01) -> jnp.ndarray:
+    """Mix foreground noise into the background noise inside the mask.
+
+    bg outside the mask; inside: bg*sqrt(1-r) + fg*sqrt(r) — keeps unit
+    variance (utils/latents.py:25-35). fg_mask: (H, W).
+    """
+    m = fg_mask[..., None]
+    mixed = latents_bg * jnp.sqrt(1.0 - fg_blending_ratio) + latents_fg * jnp.sqrt(
+        fg_blending_ratio
+    )
+    return latents_bg * (1.0 - m) + mixed * m
+
+
+def get_input_latents_list(
+    bg_seed: int,
+    fg_seed_start: int,
+    fg_masks,                 # list of (H, W) masks (one per box)
+    latent_shape,             # (B, H, W, C)
+    fg_blending_ratio: float = 0.01,
+    init_noise_sigma: float = 1.0,
+    dtype=jnp.float32,
+):
+    """Per-box input latents + shared background latents.
+
+    Each box idx gets noise from seed fg_seed_start + idx (bumped if it
+    collides with bg_seed), blended into the common background noise within
+    its mask (utils/latents.py:120-160).
+    """
+    latents_bg_raw = noise_from_seed(bg_seed, latent_shape, dtype)
+    input_latents = []
+    for idx, fg_mask in enumerate(fg_masks):
+        fg_seed = fg_seed_start + idx
+        if fg_seed == bg_seed:
+            fg_seed += SEED_COLLISION_BUMP
+        latents_fg = noise_from_seed(fg_seed, latent_shape, dtype)
+        blended = blend_latents(latents_bg_raw, latents_fg, jnp.asarray(fg_mask),
+                                fg_blending_ratio=fg_blending_ratio)
+        input_latents.append(blended * init_noise_sigma)
+    return input_latents, latents_bg_raw * init_noise_sigma

@@ -1,0 +1,259 @@
+"""Jit-compiled denoising loops.
+
+TPU-first redesign of the reference sampler layer (models/pipelines.py:
+generate_semantic_guidance :129, generate_gligen :323, generate_partial_frozen
+:541, generate :249 — all four collapse into ONE implementation here):
+
+- The whole N-step sampler is `lax.scan`, not a Python loop: no per-step
+  dispatch, no host round-trips, trajectories are scan outputs with static
+  shapes (the reference offloads a Python list to CPU each step,
+  pipelines.py:143-148).
+- Phase boundaries — GLIGEN scheduled-sampling cutoff, frozen-step splicing,
+  guidance max_index_step — are *static segment boundaries*: the run is split
+  into consecutive scans, each compiled with exactly the features its steps
+  need. No masked no-op UNet calls, no wasted FLOPs.
+- The per-step guidance optimization is a `lax.while_loop` with
+  `jax.value_and_grad` through the tapped UNet (see sampling/guidance.py).
+- Everything per-prompt (box masks, token positions, GLIGEN slots) is padded
+  to static shapes, so each segment compiles once and is reused across all
+  prompts, boxes, and methods.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import schedule as sched
+from ..nn.attention import NO_TAPS, AttnKey, TapSpec
+from ..nn.unet import apply_unet
+from . import guidance as guidance_lib
+
+
+@dataclass(frozen=True)
+class SegmentStatic:
+    """Everything compile-time about one scan segment."""
+
+    guidance: bool = False
+    frozen: bool = False
+    fuser: bool = False          # GLIGEN fusers active in this segment
+    gligen: bool = False         # grounding tokens exist at all
+    save_latents: bool = False
+    save_taps: bool = False
+    guidance_scale: float = 7.5
+    spec: guidance_lib.GuidanceSpec | None = None
+    save_keys: tuple[AttnKey, ...] = ()
+    save_cond_only: bool = False
+    save_single_token: bool = False
+    ref_ca: bool = False
+
+
+class SampleOutput(NamedTuple):
+    latents: jnp.ndarray                 # (B, H, W, C) final
+    all_latents: jnp.ndarray | None      # (T+1, B, H, W, C) trajectory
+    saved_taps: dict | None              # {AttnKey: (T, ...)} from the main forward
+    final_loss: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("unet", "static"))
+def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
+                 carry, xs, consts):
+    """One scan over a contiguous run of steps sharing static features.
+
+    carry: (latents (B,H,W,C) f32, loss () f32)
+    xs: dict of per-step arrays — t, prev_t, max_iter, frozen_next?, ref?
+    consts: dict of per-run arrays — text_embeddings (2B,L,D),
+        cond_embeddings (B,L,D), objs (2B,M,D)?, objs_null (B,M,D)?,
+        frozen_mask (H,W)?, guidance_data?, tap_token_index?
+    """
+    text_embeddings = consts["text_embeddings"]
+    fuser_gate = 1.0
+
+    objs_full = consts.get("objs") if static.gligen and static.fuser else None
+    objs_null = consts.get("objs_null") if static.gligen and static.fuser else None
+
+    save_tapspec = (
+        TapSpec(keys=static.save_keys, cond_only=static.save_cond_only,
+                single_token=static.save_single_token)
+        if static.save_taps else NO_TAPS
+    )
+    tap_token_index = consts.get("tap_token_index")
+
+    def step(carry, x):
+        latents, loss = carry
+        t, prev_t = x["t"], x["prev_t"]
+
+        if static.guidance:
+            cond_embeddings = consts["cond_embeddings"]
+
+            def unet_taps(lat):
+                _, taps = apply_unet(
+                    unet, params, lat, t, cond_embeddings,
+                    objs=objs_null, fuser_gate=fuser_gate,
+                    taps=static.spec.tap_spec,
+                )
+                return taps
+
+            latents, loss = guidance_lib.guidance_update(
+                unet_taps, latents, loss,
+                step_size=sched.guidance_step_size(schedule, t),
+                max_iter=x["max_iter"],
+                data=consts["guidance_data"], spec=static.spec,
+                ref_taps=x.get("ref"),
+            )
+
+        latent_in = jnp.concatenate([latents, latents], axis=0)
+        eps, taps = apply_unet(
+            unet, params, latent_in, t, text_embeddings,
+            objs=objs_full, fuser_gate=fuser_gate,
+            taps=save_tapspec, tap_token_index=tap_token_index,
+        )
+        eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
+        eps = eps_uncond + static.guidance_scale * (eps_cond - eps_uncond)
+
+        latents = sched.ddim_step(schedule, eps, t, prev_t, latents)
+
+        if static.frozen:
+            m = consts["frozen_mask"][None, :, :, None]
+            latents = x["frozen_next"] * m + latents * (1.0 - m)
+
+        ys = {}
+        if static.save_latents:
+            ys["latents"] = latents
+        if static.save_taps:
+            ys["taps"] = taps
+        return (latents, loss), ys
+
+    return jax.lax.scan(step, carry, xs)
+
+
+def _segment_boundaries(num_steps: int, *cuts: int) -> list[tuple[int, int]]:
+    points = sorted({0, num_steps, *(min(max(c, 0), num_steps) for c in cuts)})
+    return [(a, b) for a, b in zip(points[:-1], points[1:]) if b > a]
+
+
+def _stack_max_iter(max_iter, num_steps: int) -> jnp.ndarray:
+    """Per-step iteration budgets; scalars broadcast, short lists extend with
+    their last value (reference pipelines.py:21-25)."""
+    if isinstance(max_iter, (int, float)):
+        vals = [int(max_iter)] * num_steps
+    else:
+        vals = [int(max_iter[i]) if i < len(max_iter) else int(max_iter[-1])
+                for i in range(num_steps)]
+    return jnp.asarray(vals, dtype=jnp.int32)
+
+
+def sample(
+    unet,
+    params,
+    schedule: sched.Schedule,
+    latents: jnp.ndarray,                  # (B, H, W, C), already scaled
+    text_embeddings: jnp.ndarray,          # (2B, L, D) [uncond; cond]
+    *,
+    cond_embeddings: jnp.ndarray | None = None,
+    guidance_scale: float = 7.5,
+    spec: guidance_lib.GuidanceSpec | None = None,
+    guidance_data: guidance_lib.GuidanceData | None = None,
+    max_iter: Any = 5,
+    ref_taps: dict | None = None,          # {key: (T, Bx, heads, n)}
+    gligen: tuple | None = None,           # (objs (2B,M,D), objs_null (B,M,D))
+    num_fuser_steps: int = 0,
+    frozen_mask: jnp.ndarray | None = None,  # (H, W)
+    frozen_latents: jnp.ndarray | None = None,  # (>=frozen_steps+1, B, H, W, C)
+    num_frozen_steps: int = 0,
+    save_all_latents: bool = False,
+    save_keys: tuple[AttnKey, ...] = (),
+    save_cond_only: bool = False,
+    save_single_token: bool = False,
+    tap_token_index=None,
+    initial_loss: float = 10000.0,
+) -> SampleOutput:
+    """Run a full grounded-diffusion sampling pass.
+
+    One driver covers plain CFG sampling, semantic guidance, GLIGEN scheduled
+    sampling, frozen-mask regeneration, and their combinations — split into
+    statically-compiled segments at the feature boundaries.
+    """
+    num_steps = schedule.num_steps
+    has_guidance = spec is not None and guidance_data is not None
+    guidance_steps = min(spec.max_index_step, num_steps) if has_guidance else 0
+    fuser_steps = min(num_fuser_steps, num_steps) if gligen is not None else 0
+    frozen_steps = min(num_frozen_steps, num_steps) if frozen_mask is not None else 0
+
+    latents = latents.astype(jnp.float32)
+    loss = jnp.float32(initial_loss)
+    max_iter_arr = _stack_max_iter(max_iter, num_steps)
+
+    consts = {"text_embeddings": text_embeddings}
+    if cond_embeddings is not None:
+        consts["cond_embeddings"] = cond_embeddings
+    if gligen is not None:
+        consts["objs"], consts["objs_null"] = gligen
+    if frozen_mask is not None:
+        consts["frozen_mask"] = jnp.asarray(frozen_mask, dtype=jnp.float32)
+    if has_guidance:
+        consts["guidance_data"] = guidance_data
+    if tap_token_index is not None:
+        consts["tap_token_index"] = jnp.asarray(tap_token_index, dtype=jnp.int32)
+
+    all_latents = [latents] if save_all_latents else None
+    saved_taps: list | None = [] if save_keys else None
+    carry = (latents, loss)
+
+    for start, stop in _segment_boundaries(num_steps, guidance_steps, fuser_steps,
+                                           frozen_steps):
+        seg_guidance = has_guidance and start < guidance_steps
+        seg_fuser = gligen is not None and start < fuser_steps
+        seg_frozen = frozen_mask is not None and start < frozen_steps
+
+        static = SegmentStatic(
+            guidance=seg_guidance,
+            frozen=seg_frozen,
+            fuser=seg_fuser,
+            gligen=gligen is not None,
+            save_latents=save_all_latents,
+            save_taps=bool(save_keys),
+            guidance_scale=guidance_scale,
+            spec=spec if seg_guidance else None,
+            save_keys=tuple(save_keys),
+            save_cond_only=save_cond_only,
+            save_single_token=save_single_token,
+            ref_ca=seg_guidance and ref_taps is not None,
+        )
+
+        xs = {
+            "t": schedule.timesteps[start:stop],
+            "prev_t": schedule.prev_timesteps[start:stop],
+        }
+        if seg_guidance:
+            xs["max_iter"] = max_iter_arr[start:stop]
+            if ref_taps is not None:
+                xs["ref"] = {k: v[start:stop] for k, v in ref_taps.items()}
+        if seg_frozen:
+            xs["frozen_next"] = frozen_latents[start + 1 : stop + 1]
+
+        carry, ys = _run_segment(unet, static, params, schedule, carry, xs, consts)
+        if save_all_latents:
+            all_latents.append(ys["latents"])
+        if save_keys:
+            saved_taps.append(ys["taps"])
+
+    latents, loss = carry
+
+    stacked_latents = None
+    if save_all_latents:
+        stacked_latents = jnp.concatenate(
+            [all_latents[0][None], *all_latents[1:]], axis=0
+        )
+    stacked_taps = None
+    if save_keys:
+        stacked_taps = {
+            k: jnp.concatenate([seg[k] for seg in saved_taps], axis=0)
+            for k in saved_taps[0]
+        }
+    return SampleOutput(latents=latents, all_latents=stacked_latents,
+                        saved_taps=stacked_taps, final_loss=loss)
