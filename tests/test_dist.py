@@ -1,0 +1,125 @@
+"""Mesh/sharding and training-step tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from lmdx import config as cfglib
+from lmdx.core import schedule as sched
+from lmdx.dist import mesh as meshlib
+from lmdx.nn.unet import UNet2DCondition
+from lmdx.training import train as trainlib
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = cfglib.tiny_test()
+    unet = UNet2DCondition(cfg.unet, dtype=jnp.float32)
+    h = w = cfg.latent_height
+    d = cfg.unet.cross_attention_dim
+    b = 4
+    batch = {
+        "x0": jax.random.normal(jax.random.key(0), (b, h, w, 4)),
+        "noise": jax.random.normal(jax.random.key(1), (b, h, w, 4)),
+        "t": jnp.array([10, 200, 500, 900], jnp.int32),
+        "text_embeddings": jax.random.normal(jax.random.key(2), (b, 77, d)) * 0.02,
+        "objs": jax.random.normal(jax.random.key(3), (b, 8, d)) * 0.02,
+    }
+    params = unet.init(jax.random.key(42), batch["x0"], batch["t"],
+                       batch["text_embeddings"], objs=batch["objs"])["params"]
+    return cfg, unet, params, batch
+
+
+def test_mesh_axes():
+    mesh = meshlib.make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh = meshlib.make_mesh()
+    assert mesh.shape["dp"] == len(jax.devices())
+
+
+def test_param_spec_rules(tiny_setup):
+    _, _, params, _ = tiny_setup
+    specs = meshlib.param_spec(params)
+    flat = {
+        jax.tree_util.keystr(path): spec
+        for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    qkv = [k for k in flat if "attn1" in k and "to_q" in k and "kernel" in k]
+    assert qkv and all(flat[k] == P(None, "tp") for k in qkv)
+    outs = [k for k in flat if "to_out" in k and "kernel" in k]
+    assert outs and all(flat[k] == P("tp", None) for k in outs)
+    convs = [k for k in flat if "conv1" in k and "kernel" in k]
+    assert convs and all(flat[k] == P() for k in convs)
+
+
+def test_sharded_train_step_matches_single_device(tiny_setup):
+    _, unet, params, batch = tiny_setup
+    schedule = sched.make_schedule(50)
+    optimizer = trainlib.make_optimizer(1e-3)
+    objs_fn = lambda p, b: b["objs"]  # noqa: E731
+
+    # Single-device reference.
+    step = trainlib.make_train_step(unet, optimizer, schedule.alphas_cumprod,
+                                    objs_fn=objs_fn)
+    state0 = trainlib.init_train_state(params, optimizer)
+    ref_state, ref_loss = jax.jit(step)(state0, batch)
+
+    # Sharded over dp=4, tp=2. The jitted step donates its state and (on CPU)
+    # replicated device_put aliases the source buffers, so shard a copy.
+    mesh = meshlib.make_mesh(dp=4, tp=2)
+    params_copy = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    state = trainlib.init_train_state(params_copy, optimizer)
+    state = trainlib.shard_state(state, mesh)
+    sbatch = meshlib.shard_batch(batch, mesh)
+    sharded = trainlib.make_sharded_train_step(
+        unet, optimizer, schedule.alphas_cumprod, mesh, objs_fn=objs_fn
+    )
+    new_state, loss = sharded(state, sbatch)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    ref_leaf = jax.tree_util.tree_leaves(ref_state.params)[0]
+    new_leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    np.testing.assert_allclose(np.asarray(new_leaf), np.asarray(ref_leaf),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_adapter_mask_freezes_backbone(tiny_setup):
+    _, unet, params, batch = tiny_setup
+    schedule = sched.make_schedule(50)
+    mask = trainlib.gligen_adapter_mask(params)
+    optimizer = trainlib.make_optimizer(1e-2, trainable_mask=mask)
+    step = trainlib.make_train_step(unet, optimizer, schedule.alphas_cumprod,
+                                    objs_fn=lambda p, b: b["objs"])
+    state = trainlib.init_train_state(params, optimizer)
+    new_state, _ = jax.jit(step)(state, batch)
+
+    flat_old = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(new_state.params)[0])
+    changed_alphas = 0
+    for path, old in flat_old:
+        key = jax.tree_util.keystr(path)
+        same = np.allclose(np.asarray(old), np.asarray(flat_new[path]))
+        if "fuser" not in key:
+            # Backbone must be frozen under the adapter mask.
+            assert same, key
+        elif "alpha" in key:
+            # The tanh gates start at zero, so on step one only the gate
+            # scalars themselves receive nonzero gradients.
+            changed_alphas += not same
+    assert changed_alphas > 0
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[1].shape
