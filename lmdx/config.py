@@ -88,12 +88,17 @@ class SDConfig:
     param_dtype: str = "float32"
 
     @property
+    def vae_scale(self) -> int:
+        """Spatial down/up factor of the VAE (8 for SD: 4 levels)."""
+        return 2 ** (len(self.vae.block_out_channels) - 1)
+
+    @property
     def latent_height(self) -> int:
-        return self.height // 8
+        return self.height // self.vae_scale
 
     @property
     def latent_width(self) -> int:
-        return self.width // 8
+        return self.width // self.vae_scale
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
@@ -151,8 +156,8 @@ def tiny_test() -> SDConfig:
             num_layers=2, num_heads=2,
         ),
         vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8),
-        height=64,
-        width=64,
+        height=32,
+        width=32,
         dtype="float32",
     )
 

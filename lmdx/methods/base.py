@@ -1,0 +1,94 @@
+"""Shared method-layer plumbing.
+
+Every method module exposes `version` (checked against the CLI's --run-model,
+reference generate.py:151-153) and `run(spec, bundle=..., **kwargs) ->
+GenerationResult`. Unlike the reference — where method modules bind global
+models at import time (lmd.py:12-19) and generate.py must load models before
+importing the module — the model bundle is an explicit argument, so methods
+are pure functions of (spec, models, hyperparameters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import vae as vaelib
+from ..runtime.models import ModelBundle
+from ..sampling import gligen as gligen_lib
+from ..text import tokens as toklib
+
+
+@dataclass
+class GenerationResult:
+    image: np.ndarray                      # (H, W, 3) uint8
+    so_img_list: list = field(default_factory=list)  # per-box images (LMD/LMD+)
+    aux: dict = field(default_factory=dict)
+
+
+def decode_latents(bundle: ModelBundle, latents) -> np.ndarray:
+    """Latents (B, h, w, 4) -> uint8 images (B, H, W, 3)."""
+    images = bundle.vae.apply(
+        {"params": bundle.params["vae"]}, jnp.asarray(latents),
+        method=bundle.vae.__class__.decode,
+    )
+    return np.asarray(vaelib.to_uint8(images))
+
+
+def encode_image(bundle: ModelBundle, image: np.ndarray, noise=None):
+    """uint8 image (H, W, 3) -> scaled latents (1, h, w, 4)."""
+    x = jnp.asarray(image, jnp.float32)[None] / 127.5 - 1.0
+    return bundle.vae.apply(
+        {"params": bundle.params["vae"]}, x, noise,
+        method=bundle.vae.__class__.encode,
+    )
+
+
+def with_extra_negative(spec, negative_prompt: str) -> str:
+    """Prepend the spec's extra negative prompt (reference lmd.py:330-335)."""
+    extra = spec.get("extra_neg_prompt") if isinstance(spec, dict) else getattr(
+        spec, "extra_neg_prompt", ""
+    )
+    if extra:
+        return f"{extra}, {negative_prompt}"
+    return negative_prompt
+
+
+def make_gligen_inputs(
+    bundle: ModelBundle,
+    bboxes: list,
+    phrases: list[str],
+    batch_size: int = 1,
+):
+    """Pack GLIGEN grounding for CFG sampling.
+
+    Returns (objs_full (2B, M, D), objs_cond (B, M, D)) — the CFG-doubled
+    grounding tokens (uncond half nulled) and the cond-only tokens for
+    guidance forwards. Parity: models/pipelines.py:285-321.
+    """
+    from ..runtime import models as runtime_models
+
+    max_objs = bundle.config.unet.gligen_max_objs
+    if len(bboxes) > max_objs:
+        bboxes, phrases = bboxes[:max_objs], phrases[:max_objs]
+    if phrases:
+        _, pooled = runtime_models.encode_text(bundle, phrases)
+        pooled = np.asarray(pooled)
+    else:
+        pooled = np.zeros((0, bundle.config.clip.hidden_size), np.float32)
+
+    boxes, embs, masks = gligen_lib.prepare_gligen_condition(
+        bboxes, pooled, max_objs=max_objs,
+        num_images_per_prompt=batch_size, cfg_double=True,
+    )
+    objs_full = runtime_models.gligen_objs(bundle, boxes, masks, embs)
+    objs_cond = objs_full[objs_full.shape[0] // 2 :]
+    return objs_full, objs_cond
+
+
+def spec_get(spec, key, default=None):
+    if isinstance(spec, dict):
+        return spec.get(key, default)
+    return getattr(spec, key, default)

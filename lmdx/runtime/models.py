@@ -1,0 +1,190 @@
+"""Model bundle: modules + parameters + tokenizer for one SD configuration.
+
+Replaces the reference's `models.load_sd` EasyDict + module-level globals
+(reference models/models.py:11-61). A bundle is explicit and immutable; params
+come from a converted HF checkpoint directory when one is available, else
+from deterministic random initialization (weightless mode — used for perf
+benchmarking, sharding validation, and tests; generation quality requires
+converted weights).
+
+Prompt encoding parity: models/models.py:63-109 — CLIP max-length padding,
+uncond = negative-prompt embedding, `one_uncond_input_only` mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SDConfig, SD_CONFIGS
+from ..nn.clip import CLIPTextEncoder
+from ..nn.unet import PositionNet, UNet2DCondition
+from ..nn.vae import AutoencoderKL
+from ..text import tokens as toklib
+
+
+@dataclass(frozen=True)
+class ModelBundle:
+    config: SDConfig
+    tokenizer: Any
+    unet: UNet2DCondition
+    text_encoder: CLIPTextEncoder
+    vae: AutoencoderKL
+    position_net: PositionNet | None
+    params: dict  # {"unet": ..., "text": ..., "vae": ..., "position_net": ...}
+
+    @property
+    def latent_shape(self):
+        return (1, self.config.latent_height, self.config.latent_width, 4)
+
+
+def _random_init_params(module, rng, *args, **kwargs):
+    return module.init(rng, *args, **kwargs)["params"]
+
+
+def build_modules(config: SDConfig):
+    dtype = config.jnp_dtype()
+    unet = UNet2DCondition(config.unet, dtype=dtype)
+    text_encoder = CLIPTextEncoder(config.clip, dtype=dtype)
+    vae = AutoencoderKL(config.vae, dtype=dtype)
+    position_net = None
+    if config.unet.use_gligen:
+        position_net = PositionNet(
+            positive_len=config.clip.hidden_size,
+            out_dim=config.unet.cross_attention_dim,
+            fourier_freqs=config.unet.gligen_fourier_freqs,
+            dtype=dtype,
+        )
+    return unet, text_encoder, vae, position_net
+
+
+def init_random_params(config: SDConfig, seed: int = 0) -> dict:
+    """Deterministic random params for weightless operation."""
+    unet, text_encoder, vae, position_net = build_modules(config)
+    h, w = config.latent_height, config.latent_width
+    d = config.unet.cross_attention_dim
+    key = jax.random.key(seed)
+    k_unet, k_text, k_vae, k_pn = jax.random.split(key, 4)
+
+    latents = jnp.zeros((1, h, w, 4), jnp.float32)
+    text = jnp.zeros((1, toklib.MAX_LENGTH, d), jnp.float32)
+    objs = (
+        jnp.zeros((1, config.unet.gligen_max_objs, d), jnp.float32)
+        if config.unet.use_gligen
+        else None
+    )
+    params = {
+        "unet": _random_init_params(unet, k_unet, latents, jnp.zeros((1,), jnp.int32),
+                                    text, objs=objs),
+        "text": _random_init_params(
+            text_encoder, k_text,
+            jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32),
+        ),
+        # Init through the full encode+decode round-trip so both halves (and
+        # the quant convs) get parameters.
+        "vae": _random_init_params(vae, k_vae, jnp.zeros((1, 64, 64, 3), jnp.float32)),
+    }
+    if position_net is not None:
+        params["position_net"] = _random_init_params(
+            position_net, k_pn,
+            jnp.zeros((1, config.unet.gligen_max_objs, 4), jnp.float32),
+            jnp.zeros((1, config.unet.gligen_max_objs), jnp.float32),
+            jnp.zeros((1, config.unet.gligen_max_objs, config.clip.hidden_size),
+                      jnp.float32),
+        )
+    return params
+
+
+@functools.lru_cache(maxsize=4)
+def load_bundle(
+    model_key: str = "gligen/diffusers-generation-text-box",
+    checkpoint_dir: str | None = None,
+    seed: int = 0,
+) -> ModelBundle:
+    """Build a ModelBundle for `model_key`.
+
+    checkpoint_dir: a converted-or-HF checkpoint directory; when None, uses
+    $LMDX_CHECKPOINT_DIR/<model_key> if present, else random params.
+    """
+    config = SD_CONFIGS[model_key]()
+    unet, text_encoder, vae, position_net = build_modules(config)
+
+    if checkpoint_dir is None:
+        root = os.environ.get("LMDX_CHECKPOINT_DIR", "")
+        candidate = os.path.join(root, model_key.replace("/", "--")) if root else ""
+        if candidate and os.path.isdir(candidate):
+            checkpoint_dir = candidate
+
+    tokenizer = toklib.default_tokenizer()
+    if checkpoint_dir is not None:
+        from . import convert
+
+        params = convert.load_checkpoint(config, checkpoint_dir)
+        tok_dir = os.path.join(checkpoint_dir, "tokenizer")
+        if os.path.exists(os.path.join(tok_dir, "vocab.json")):
+            tokenizer = toklib.ClipBpeTokenizer.from_dir(tok_dir)
+    else:
+        params = init_random_params(config, seed=seed)
+
+    return ModelBundle(
+        config=config,
+        tokenizer=tokenizer,
+        unet=unet,
+        text_encoder=text_encoder,
+        vae=vae,
+        position_net=position_net,
+        params=params,
+    )
+
+
+def encode_text(bundle: ModelBundle, texts: list[str]):
+    """Encode raw texts -> (last_hidden (N, 77, D), pooled (N, D))."""
+    ids = np.asarray(
+        [bundle.tokenizer.encode(t, pad_to=toklib.MAX_LENGTH) for t in texts],
+        np.int32,
+    )
+    # Fold ids into the model's vocab: out-of-range embedding lookups fill
+    # with NaN in jax. Only reduced-vocab test configs are affected — real
+    # CLIP vocabs cover every tokenizer id.
+    vocab = bundle.config.clip.vocab_size
+    ids = ids % vocab
+    hidden, pooled = bundle.text_encoder.apply(
+        {"params": bundle.params["text"]}, jnp.asarray(ids),
+        eos_token_id=bundle.tokenizer.eos_id % vocab,
+    )
+    return hidden.astype(jnp.float32), pooled.astype(jnp.float32)
+
+
+def encode_prompts(
+    bundle: ModelBundle,
+    prompts: list[str],
+    negative_prompt: str = "",
+    one_uncond_input_only: bool = False,
+):
+    """(uncond_embeddings, cond_embeddings) for CFG sampling.
+
+    uncond is the embedding of `negative_prompt`, repeated per prompt unless
+    one_uncond_input_only (reference models/models.py:63-89).
+    """
+    cond, _ = encode_text(bundle, prompts)
+    uncond, _ = encode_text(bundle, [negative_prompt])
+    if not one_uncond_input_only:
+        uncond = jnp.repeat(uncond, len(prompts), axis=0)
+    return uncond, cond
+
+
+def gligen_objs(bundle: ModelBundle, boxes, masks, phrase_embeddings):
+    """PositionNet forward: packed GLIGEN condition -> grounding tokens."""
+    assert bundle.position_net is not None, "model has no GLIGEN adapters"
+    return bundle.position_net.apply(
+        {"params": bundle.params["position_net"]},
+        jnp.asarray(boxes, jnp.float32),
+        jnp.asarray(masks, jnp.float32),
+        jnp.asarray(phrase_embeddings, jnp.float32),
+    )
