@@ -1,0 +1,71 @@
+"""Benchmark: LMD+ grounded-image throughput on one TPU chip.
+
+Measures end-to-end grounded generation — per-box GLIGEN passes, mask
+refinement, masked latent composition, frozen-step overall regeneration with
+CA-energy guidance (jax.grad through the UNet), VAE decode — at the
+reference's flagship configuration: SD v1.4 + GLIGEN topology, 512x512,
+50 steps, CFG 7.5, frozen_step_ratio 0.5, scheduled-sampling beta 0.4
+(reference generation/lmd_plus.py:196-209), 2-object layout.
+
+Params are randomly initialized (weights are irrelevant to throughput; no
+network egress in this environment). First invocation pays XLA compilation;
+the steady-state number is what's reported.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+The denominator is a documented engineering estimate of the PyTorch
+reference on A100: ~150 CFG UNet steps per 2-box image at ~10 it/s fp16
+plus ~66 forward-equivalents of guidance backprop, SAM, and VAE decode
+=> ~0.043 images/s. Recorded in BASELINE.json["published"].
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_A100_IMG_PER_S = 0.043  # documented estimate, see module docstring
+
+SPEC = {
+    "prompt": "A realistic photo of a scene with a brown dog and a white cat",
+    "gen_boxes": [
+        ("a brown dog", (80, 280, 160, 180)),
+        ("a white cat", (300, 300, 150, 140)),
+    ],
+    "bg_prompt": "A realistic photo of a scene",
+    "extra_neg_prompt": "",
+}
+
+
+def main():
+    from lmdx import methods
+    from lmdx.runtime import models as runtime_models
+
+    bundle = runtime_models.load_bundle("gligen/diffusers-generation-text-box",
+                                        seed=0)
+
+    def once():
+        return methods.lmd_plus.run(SPEC, bundle, num_inference_steps=50)
+
+    once()  # compile warmup (segments for per-box and overall passes)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        result = once()
+        assert result.image.shape[0] == bundle.config.height
+        times.append(time.perf_counter() - t0)
+
+    per_image = min(times)
+    value = 1.0 / per_image
+    print(json.dumps({
+        "metric": "lmd_plus_sd512_50step_images_per_sec_per_chip",
+        "value": round(value, 5),
+        "unit": "images/s/chip",
+        "vs_baseline": round(value / REFERENCE_A100_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+"""Batch stage-2 generation driver.
+
+Flag-compatible rebuild of the reference CLI (reference generate.py:17-94):
+prompts come from a benchmark/demo prompt set, layouts from the stage-1 JSON
+cache, methods from lmdx.methods, with the reference's seed-derivation scheme
+(LARGE_CONSTANT family, generate.py:226-343), skip-if-exists resume
+(generate.py:275-279), per-prompt error tolerance (generate.py:388-401), and
+cache-access accounting (generate.py:406-409).
+
+Example (offline, cached layouts):
+    python -m lmdx.cli.generate --prompt-type demo --model gpt-4 \
+        --template_version v0.1 --run-model lmd_plus \
+        --cache-path /root/reference/cache/cache_demo_v0.1_gpt-4.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+import traceback
+
+from PIL import Image
+
+from .. import methods as methods_lib
+from ..eval.prompts import get_prompts
+from ..text.cache import LayoutCache, cache_filename
+from ..text.parser import ParseError, filter_boxes, parse_layout_response
+
+LARGE_CONSTANT = 123456789
+LARGE_CONSTANT2 = 56789
+LARGE_CONSTANT3 = 6789
+LARGE_CONSTANT4 = 7890
+
+FLOAT_ARGS = [
+    "frozen_step_ratio", "loss_threshold", "ref_ca_loss_weight",
+    "fg_top_p", "bg_top_p", "overall_fg_top_p", "overall_bg_top_p",
+    "fg_weight", "bg_weight", "overall_fg_weight", "overall_bg_weight",
+    "overall_loss_threshold", "fg_blending_ratio", "mask_th_for_point",
+    "so_floor_padding",
+]
+INT_ARGS = [
+    "loss_scale", "max_iter", "max_index_step", "overall_max_iter",
+    "overall_max_index_step", "overall_loss_scale",
+    "horizontal_shift_only", "so_horizontal_center_only", "use_ref_ca",
+    "num_inference_steps",
+]
+STR_ARGS = ["so_vertical_placement"]
+BOOL_INT_ARGS = {"horizontal_shift_only", "so_horizontal_center_only",
+                 "use_ref_ca"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--save-suffix", default=None, type=str)
+    parser.add_argument("--model", default="gpt-4",
+                        help="LLM model the cache was generated with")
+    parser.add_argument("--repeats", default=1, type=int)
+    parser.add_argument("--regenerate", default=1, type=int)
+    parser.add_argument("--force_run_ind", default=None, type=int)
+    parser.add_argument("--skip_first_prompts", default=0, type=int)
+    parser.add_argument("--seed_offset", default=0, type=int)
+    parser.add_argument("--num_prompts", default=None, type=int)
+    parser.add_argument("--run-model", default="lmd_plus",
+                        choices=sorted(methods_lib.METHODS))
+    parser.add_argument("--use-sdv2", action="store_true")
+    parser.add_argument("--sd-model", default=None,
+                        help="explicit SD config key override (e.g. tiny-test)")
+    parser.add_argument("--ignore-bg-prompt", action="store_true")
+    parser.add_argument("--ignore-negative-prompt", action="store_true")
+    parser.add_argument("--no-synthetic-prompt", action="store_true")
+    parser.add_argument("--no-scale-boxes-default", action="store_true")
+    parser.add_argument("--no-continue-on-error", action="store_true")
+    parser.add_argument("--prompt-type", default="lmd")
+    parser.add_argument("--template_version", default="v0.1")
+    parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--cache-path", default=None,
+                        help="layout cache JSON (default: reference naming)")
+    parser.add_argument("--cache-dir", default="cache")
+    parser.add_argument("--save-dir", default="img_generations")
+    parser.add_argument("--sdxl", action="store_true")
+    parser.add_argument("--sdxl-step-ratio", type=float, default=0.3)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the host image pins jax "
+                             "to the TPU plugin; env vars are ignored)")
+    for name in FLOAT_ARGS:
+        parser.add_argument("--" + name, default=None, type=float)
+    for name in INT_ARGS:
+        parser.add_argument("--" + name, default=None, type=int)
+    for name in STR_ARGS:
+        parser.add_argument("--" + name, default=None, type=str)
+    return parser
+
+
+def collect_run_kwargs(args) -> dict:
+    run_kwargs = {}
+    for name in FLOAT_ARGS + INT_ARGS + STR_ARGS:
+        value = getattr(args, name)
+        if value is None:
+            continue
+        if name in BOOL_INT_ARGS:
+            value = bool(value)
+        run_kwargs[name] = value
+    return run_kwargs
+
+
+def select_model_key(args) -> str:
+    if args.sd_model:
+        return args.sd_model
+    if args.use_sdv2:
+        assert args.run_model not in ("gligen", "lmd_plus"), \
+            "GLIGEN adapters require SD v1.4"
+        return "stabilityai/stable-diffusion-2-1-base"
+    if args.run_model in ("gligen", "lmd_plus"):
+        return "gligen/diffusers-generation-text-box"
+    return "runwayml/stable-diffusion-v1-5"
+
+
+def make_save_dir(args) -> str:
+    suffix = f"_{args.save_suffix}" if args.save_suffix else ""
+    base = (f"{args.save_dir}/template{args.template_version}"
+            f"_{args.run_model}_{args.prompt_type}{suffix}")
+    if args.force_run_ind is not None:
+        return f"{base}/run{args.force_run_ind}"
+    run_ind = 0
+    while os.path.exists(f"{base}/run{run_ind}"):
+        run_ind += 1
+    return f"{base}/run{run_ind}"
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    run_kwargs = collect_run_kwargs(args)
+    method = methods_lib.get_method(args.run_model)
+
+    cache_path = args.cache_path or cache_filename(
+        args.prompt_type, args.template_version, args.model, args.cache_dir)
+    cache = LayoutCache(cache_path, allow_nonexist=False)
+
+    prompts = get_prompts(args.prompt_type, model=args.model)
+    save_dir = make_save_dir(args)
+    print(f"save_dir: {save_dir}, cache: {cache_path}")
+
+    bundle = None
+    if not args.dry_run:
+        from ..runtime.models import load_bundle
+
+        bundle = load_bundle(select_model_key(args))
+
+    sdxl_refiner = None
+    if args.sdxl and not args.dry_run:
+        from ..methods import sdxl_refine
+
+        sdxl_refiner = sdxl_refine
+
+    scale_boxes_default = not args.no_scale_boxes_default
+    ind = 0
+    if args.regenerate > 1:
+        assert args.skip_first_prompts == 0
+
+    for regenerate_ind in range(args.regenerate):
+        cache.reset_access()
+        for prompt_ind, prompt in enumerate(prompts):
+            if prompt_ind < args.skip_first_prompts:
+                ind += 1
+                continue
+            if args.num_prompts is not None and prompt_ind >= (
+                    args.skip_first_prompts + args.num_prompts):
+                ind += 1
+                continue
+
+            kwargs = {}
+            if isinstance(prompt, list):
+                prompt, kwargs = prompt
+            prompt = prompt.strip().rstrip(".")
+            ind_override = kwargs.get("seed")
+            scale_boxes = kwargs.get("scale_boxes", scale_boxes_default)
+
+            resp = cache.get(prompt)
+            if resp is None:
+                print(f"Cache miss, skipping prompt: {prompt}")
+                ind += 1
+                continue
+
+            img_dir = f"{save_dir}/{ind}"
+            existing = (
+                [f for f in os.listdir(img_dir) if f.startswith("img")]
+                if os.path.exists(img_dir) else []
+            )
+            if len(existing) >= args.repeats:
+                print(f"Image exists at {img_dir}, skipping")
+                ind += 1
+                continue
+            os.makedirs(img_dir, exist_ok=True)
+
+            try:
+                layout = parse_layout_response(resp)
+                bg_prompt = "" if args.ignore_bg_prompt else layout.bg_prompt
+                neg_prompt = "" if args.ignore_negative_prompt else layout.neg_prompt
+                gen_boxes = filter_boxes(layout.gen_boxes, scale_boxes=scale_boxes)
+                spec = {
+                    "prompt": prompt,
+                    "gen_boxes": gen_boxes,
+                    "bg_prompt": bg_prompt,
+                    "extra_neg_prompt": neg_prompt,
+                }
+                print(f"[{ind}] spec: {spec}")
+                if args.dry_run:
+                    ind += 1
+                    continue
+
+                original_ind_base = (
+                    ind_override + regenerate_ind * LARGE_CONSTANT2
+                    if ind_override is not None else ind
+                )
+                for repeat_ind in range(args.repeats):
+                    ind_offset = repeat_ind * LARGE_CONSTANT3 + args.seed_offset
+                    seed = original_ind_base + ind_offset
+                    call_kwargs = dict(run_kwargs)
+                    if args.run_model in ("lmd", "lmd_plus"):
+                        call_kwargs["fg_seed_start"] = ind + ind_offset + LARGE_CONSTANT
+                        if args.no_synthetic_prompt:
+                            call_kwargs["overall_prompt_override"] = prompt
+                    result = method.run(spec, bundle, bg_seed=seed, **call_kwargs)
+                    image = result.image
+                    if sdxl_refiner is not None:
+                        image = sdxl_refiner.refine(
+                            image, spec, refine_seed=seed + LARGE_CONSTANT4,
+                            refinement_step_ratio=args.sdxl_step_ratio,
+                        )
+                    Image.fromarray(image).save(f"{img_dir}/img_{repeat_ind}.png")
+            except KeyboardInterrupt:
+                raise
+            except ParseError as e:
+                print(f"***Parse error on prompt {prompt!r}: {e}***")
+                if args.no_continue_on_error:
+                    raise
+            except Exception as e:  # mirrors generate.py:388-401 tolerance
+                print(f"***Error: {e}***")
+                print(traceback.format_exc())
+                if args.no_continue_on_error:
+                    raise
+                time.sleep(1)
+            ind += 1
+
+        if cache.values_accessed() != len(prompts):
+            print(
+                f"**Cache hit {cache.values_accessed()} time(s) for "
+                f"{len(prompts)} prompts: there may be cache misses or "
+                f"prompt/cache inconsistencies.**"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

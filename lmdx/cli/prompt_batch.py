@@ -1,0 +1,84 @@
+"""Stage-1 driver: query the LLM for layouts over a prompt set and cache
+responses.
+
+Parity: reference prompt_batch.py — per prompt: cache lookup, LLM query on
+miss (or template printout for manual copy-paste when no endpoint), parse
+with bounded retries, write-through cache save.
+
+Example (offline template printout):
+    python -m lmdx.cli.prompt_batch --prompt-type demo --model gpt-4 --show-template
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from ..eval.prompts import get_prompts
+from ..text.cache import LayoutCache, cache_filename
+from ..text.llm_client import get_llm_config, query_layout
+from ..text.parser import ParseError, filter_boxes, parse_layout_response
+from ..text.template import TEMPLATES
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--prompt-type", default="demo")
+    parser.add_argument("--model", default="gpt-4")
+    parser.add_argument("--template_version", default="v0.1")
+    parser.add_argument("--auto-query", action="store_true",
+                        help="query the LLM endpoint instead of printing the template")
+    parser.add_argument("--always-save", action="store_true")
+    parser.add_argument("--show-template", action="store_true")
+    parser.add_argument("--skip_first_prompts", default=0, type=int)
+    parser.add_argument("--num_prompts", default=None, type=int)
+    parser.add_argument("--cache-dir", default="cache")
+    parser.add_argument("--max-retries", default=3, type=int)
+    args = parser.parse_args(argv)
+
+    template = TEMPLATES[args.template_version]
+    if args.show_template:
+        print(template.format(prompt="<your caption here>"))
+        if not args.auto_query:
+            return 0
+
+    config = get_llm_config(args.model, template_version=args.template_version)
+    cache = LayoutCache(cache_filename(args.prompt_type, args.template_version,
+                                       args.model, args.cache_dir))
+    prompts = get_prompts(args.prompt_type, model=args.model)
+
+    for ind, prompt in enumerate(prompts):
+        if isinstance(prompt, list):
+            prompt = prompt[0]
+        prompt = prompt.strip().rstrip(".")
+        if ind < args.skip_first_prompts:
+            continue
+        if args.num_prompts is not None and ind >= args.skip_first_prompts + args.num_prompts:
+            continue
+
+        if prompt in cache:
+            print(f"[{ind}] cached: {prompt}")
+            continue
+        if not args.auto_query:
+            print(f"[{ind}] NOT cached (run with --auto-query or paste manually): {prompt}")
+            continue
+
+        for attempt in range(args.max_retries):
+            resp = query_layout(prompt, config)
+            try:
+                layout = parse_layout_response(resp)
+                filter_boxes(layout.gen_boxes)
+            except ParseError as e:
+                print(f"[{ind}] parse failed (attempt {attempt + 1}): {e}")
+                time.sleep(10)
+                continue
+            cache.add(prompt, resp)
+            print(f"[{ind}] saved layout for: {prompt}")
+            break
+        else:
+            print(f"[{ind}] giving up after {args.max_retries} attempts: {prompt}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
