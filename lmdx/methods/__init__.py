@@ -6,10 +6,21 @@ imports + import-time global binding; here methods are plain functions of an
 explicit bundle).
 """
 
-from . import backward_guidance, gligen, lmd, lmd_plus, sd  # noqa: F401
+from . import (  # noqa: F401
+    backward_guidance,
+    boxdiff,
+    gligen,
+    lmd,
+    lmd_plus,
+    multidiffusion,
+    sd,
+    sdxl_refine,
+)
 
 METHODS = {
-    m.version: m for m in (sd, gligen, backward_guidance, lmd, lmd_plus)
+    m.version: m
+    for m in (sd, gligen, backward_guidance, boxdiff, multidiffusion,
+              lmd, lmd_plus)
 }
 
 

@@ -1,0 +1,97 @@
+"""Image refinement pass (img2img), the SDXL-refiner stage.
+
+Parity target: reference generation/sdxl_refinement.py — upscale the grounded
+image to 1024x1024 (LANCZOS), then run an img2img denoise of strength
+`refinement_step_ratio` with a style negative prompt plus the spec's extra
+negatives.
+
+The refinement engine here is architecture-agnostic img2img on any lmdx
+bundle: encode -> add noise at the strength point of the DDIM grid -> denoise
+the tail. The reference uses the SDXL-refiner checkpoint; until the SDXL
+model family lands in lmdx.nn, `load_refiner_bundle` returns the best
+available bundle (override with LMDX_REFINER_MODEL), which preserves the
+pipeline stage and its API.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core import schedule as sched
+from ..runtime import models as runtime_models
+from ..sampling import latents as latents_lib
+from ..sampling.loop import sample
+from . import base
+
+version = "sdxl_refine"
+
+SDXL_NEGATIVE_PROMPT = (
+    "drawing, painting, crayon, sketch, graphite, impressionist, noisy, "
+    "blurry, soft, deformed, ugly"
+)
+
+_REFINER_CACHE: dict = {}
+
+
+def load_refiner_bundle():
+    key = os.environ.get("LMDX_REFINER_MODEL", "runwayml/stable-diffusion-v1-5")
+    if key not in _REFINER_CACHE:
+        _REFINER_CACHE[key] = runtime_models.load_bundle(key)
+    return _REFINER_CACHE[key]
+
+
+def img2img(
+    bundle,
+    image: np.ndarray,              # (H, W, 3) uint8 at the bundle's size
+    prompt: str,
+    negative_prompt: str = "",
+    strength: float = 0.3,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 7.5,
+    seed: int = 0,
+) -> np.ndarray:
+    """Noise the encoded image at the strength point of the grid and denoise
+    the remaining steps (diffusers img2img semantics)."""
+    schedule = sched.make_schedule(num_inference_steps)
+    start = max(num_inference_steps - int(num_inference_steps * strength), 0)
+    start = min(start, num_inference_steps - 1)
+
+    latents0 = base.encode_image(
+        bundle, image,
+        noise=latents_lib.noise_from_seed(seed + 1, (1,) + tuple(
+            np.array(image.shape[:2]) // bundle.config.vae_scale) + (4,)),
+    )
+    noise = latents_lib.noise_from_seed(seed, latents0.shape)
+    latents = sched.add_noise(schedule, latents0, noise, schedule.timesteps[start])
+
+    tail = sched.Schedule(
+        timesteps=schedule.timesteps[start:],
+        prev_timesteps=schedule.prev_timesteps[start:],
+        alphas_cumprod=schedule.alphas_cumprod,
+        final_alpha_cumprod=schedule.final_alpha_cumprod,
+    )
+    uncond, cond = runtime_models.encode_prompts(bundle, [prompt], negative_prompt)
+    text_embeddings = jnp.concatenate([uncond, cond], axis=0)
+
+    out = sample(bundle.unet, bundle.params["unet"], tail, latents,
+                 text_embeddings, guidance_scale=guidance_scale)
+    return base.decode_latents(bundle, out.latents)[0]
+
+
+def refine(image: np.ndarray, spec, refine_seed: int,
+           refinement_step_ratio: float = 0.3, bundle=None,
+           target_size: int = 1024) -> np.ndarray:
+    """Upscale + img2img refinement (sdxl_refinement.py:22-30)."""
+    bundle = bundle or load_refiner_bundle()
+    prompt = base.spec_get(spec, "prompt")
+    extra = base.spec_get(spec, "extra_neg_prompt", "")
+    negative = f"{extra}, {SDXL_NEGATIVE_PROMPT}" if extra else SDXL_NEGATIVE_PROMPT
+
+    upscaled = np.asarray(
+        Image.fromarray(image).resize((target_size, target_size), Image.LANCZOS))
+    return img2img(bundle, upscaled, prompt, negative_prompt=negative,
+                   strength=refinement_step_ratio, seed=refine_seed)

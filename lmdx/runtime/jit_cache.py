@@ -1,0 +1,21 @@
+"""Persistent XLA compilation cache.
+
+The LMD+ pipeline compiles several large scan segments (including
+grad-through-UNet guidance bodies); first-compile costs minutes on TPU.
+Enabling jax's persistent cache makes every process after the first start
+warm. Call `enable()` early (bench.py and the CLIs do)."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_DIR = os.environ.get("LMDX_JIT_CACHE", "/root/repo/.jax_cache")
+
+
+def enable(path: str = DEFAULT_DIR) -> None:
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

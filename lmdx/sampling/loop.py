@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..core import schedule as sched
 from ..nn.attention import NO_TAPS, AttnKey, TapSpec
 from ..nn.unet import apply_unet
+from . import boxdiff as boxdiff_lib
 from . import guidance as guidance_lib
 
 
@@ -98,13 +99,21 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
                 )
                 return taps
 
-            latents, loss = guidance_lib.guidance_update(
-                unet_taps, latents, loss,
-                step_size=sched.guidance_step_size(schedule, t),
-                max_iter=x["max_iter"],
-                data=consts["guidance_data"], spec=static.spec,
-                ref_taps=x.get("ref"),
-            )
+            if isinstance(static.spec, boxdiff_lib.BoxDiffSpec):
+                latents, loss = boxdiff_lib.boxdiff_update(
+                    unet_taps, latents,
+                    step_index=x["step_index"],
+                    num_steps=schedule.num_steps,
+                    data=consts["guidance_data"], spec=static.spec,
+                )
+            else:
+                latents, loss = guidance_lib.guidance_update(
+                    unet_taps, latents, loss,
+                    step_size=sched.guidance_step_size(schedule, t),
+                    max_iter=x["max_iter"],
+                    data=consts["guidance_data"], spec=static.spec,
+                    ref_taps=x.get("ref"),
+                )
 
         latent_in = jnp.concatenate([latents, latents], axis=0)
         eps, taps = apply_unet(
@@ -230,9 +239,12 @@ def sample(
             "prev_t": schedule.prev_timesteps[start:stop],
         }
         if seg_guidance:
-            xs["max_iter"] = max_iter_arr[start:stop]
-            if ref_taps is not None:
-                xs["ref"] = {k: v[start:stop] for k, v in ref_taps.items()}
+            if isinstance(spec, boxdiff_lib.BoxDiffSpec):
+                xs["step_index"] = jnp.arange(start, stop, dtype=jnp.int32)
+            else:
+                xs["max_iter"] = max_iter_arr[start:stop]
+                if ref_taps is not None:
+                    xs["ref"] = {k: v[start:stop] for k, v in ref_taps.items()}
         if seg_frozen:
             xs["frozen_next"] = frozen_latents[start + 1 : stop + 1]
 
@@ -257,3 +269,44 @@ def sample(
         }
     return SampleOutput(latents=latents, all_latents=stacked_latents,
                         saved_taps=stacked_taps, final_loss=loss)
+
+
+@functools.partial(jax.jit, static_argnames=("unet", "guidance_scale"))
+def _invert_scan(unet, guidance_scale, params, schedule: sched.Schedule,
+                 latents, text_embeddings, xs):
+    def step(latents, x):
+        if guidance_scale > 1.0:
+            latent_in = jnp.concatenate([latents, latents], axis=0)
+            eps = apply_unet(unet, params, latent_in, x["t"], text_embeddings)[0]
+            eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
+            eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+        else:
+            # Inversion is more stable without CFG (reference default
+            # cfg 1.0 uses the cond half only, pipelines.py:489-539).
+            cond = text_embeddings[text_embeddings.shape[0] // 2 :]
+            eps = apply_unet(unet, params, latents, x["t"], cond)[0]
+        latents = sched.ddim_inverse_step(schedule, eps, x["t"], x["next_t"],
+                                          latents)
+        return latents, latents
+
+    return jax.lax.scan(step, latents, xs)
+
+
+def invert(unet, params, schedule: sched.Schedule, latents: jnp.ndarray,
+           text_embeddings: jnp.ndarray, guidance_scale: float = 1.0):
+    """DDIM inversion x_0 -> x_T (reference models/pipelines.py:489-539).
+
+    Walks the timestep grid in reverse (ascending t), returning the final
+    inverted latents and the whole inversion trajectory (T+1, B, H, W, C).
+    """
+    ts = schedule.timesteps[::-1]          # ascending
+    xs = {
+        # Predict eps at the *previous* grid point while stepping to t — the
+        # standard DDIM-inversion approximation.
+        "t": jnp.concatenate([jnp.asarray([0], jnp.int32), ts[:-1]]),
+        "next_t": ts,
+    }
+    final, traj = _invert_scan(unet, guidance_scale, params, schedule,
+                               latents.astype(jnp.float32), text_embeddings, xs)
+    all_latents = jnp.concatenate([latents[None].astype(jnp.float32), traj], axis=0)
+    return final, all_latents

@@ -109,3 +109,48 @@ def test_method_registry():
     assert methods.get_method("lmd-plus").version == "lmd_plus"
     with pytest.raises(KeyError):
         methods.get_method("nope")
+
+
+def test_boxdiff(bundle):
+    result = methods.boxdiff.run(
+        SPEC, bundle, num_inference_steps=6, overall_max_index_step=2,
+        guidance_attn_keys=(("down", 0, 0, 0), ("up", 1, 0, 0), ("up", 1, 1, 0)),
+    )
+    _check_image(result, bundle)
+
+
+def test_multidiffusion(bundle):
+    result = methods.multidiffusion.run(
+        SPEC, bundle, steps=6, bootstrapping=3)
+    _check_image(result, bundle)
+    # Reference-style signature also works.
+    result2 = methods.multidiffusion.run(
+        gen_boxes=SPEC["gen_boxes"], bg_prompt=SPEC["bg_prompt"],
+        bundle=bundle, steps=4, bootstrapping=0, original_ind_base=5)
+    _check_image(result2, bundle)
+
+
+def test_refine_img2img(bundle):
+    base_img = methods.sd.run(SPEC, bundle, num_inference_steps=4).image
+    refined = methods.sdxl_refine.refine(
+        base_img, SPEC, refine_seed=3, refinement_step_ratio=0.5,
+        bundle=bundle, target_size=bundle.config.height)
+    assert refined.shape == base_img.shape
+    assert refined.dtype == np.uint8
+
+
+def test_invert_roundtrip(bundle):
+    import jax.numpy as jnp
+
+    from lmdx.core import schedule as sched
+    from lmdx.runtime import models as rm
+    from lmdx.sampling.loop import invert
+
+    schedule = sched.make_schedule(8)
+    uncond, cond = rm.encode_prompts(bundle, ["a cat"], "")
+    te = jnp.concatenate([uncond, cond])
+    h = bundle.config.latent_height
+    x0 = jnp.zeros((1, h, h, 4), jnp.float32)
+    final, traj = invert(bundle.unet, bundle.params["unet"], schedule, x0, te)
+    assert traj.shape == (9, 1, h, h, 4)
+    assert np.isfinite(np.asarray(final)).all()
