@@ -1,0 +1,75 @@
+"""Stage-2 evaluation CLI: detect objects in generated images and score the
+benchmark predicates.
+
+Parity: reference scripts/owl_vit_eval.py (OWL-ViT base-patch32, score
+threshold 0.15, class-aware NMS 0.15 — README.md:191).
+
+Example:
+    python -m lmdx.cli.owl_vit_eval \
+        --run_base_path img_generations/templatev0.1_lmd_plus_lmd/run0 \
+        --owlvit-checkpoint /path/to/owlvit-base-patch32
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..eval.owl_vit import FlaxOwlViTDetector, evaluate_run
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--run_base_path", required=True)
+    parser.add_argument("--prompt-type", default="lmd")
+    parser.add_argument("--model", default="gpt-4")
+    parser.add_argument("--owlvit-checkpoint", default=None,
+                        help="transformers OwlViT checkpoint dir; random "
+                             "weights are useless for scoring, so this is "
+                             "required unless --detector-random is passed")
+    parser.add_argument("--detector-random", action="store_true")
+    parser.add_argument("--detection_score_threshold", default=0.15, type=float)
+    parser.add_argument("--nms_threshold", default=0.15, type=float)
+    parser.add_argument("--no-class-aware-nms", action="store_true")
+    parser.add_argument("--skip_first_prompts", default=0, type=int)
+    parser.add_argument("--num_prompts", default=None, type=int)
+    parser.add_argument("--repeats", default=1, type=int)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.owlvit_checkpoint:
+        detector = FlaxOwlViTDetector.from_checkpoint(args.owlvit_checkpoint)
+    elif args.detector_random:
+        import jax
+
+        from ..nn import owlvit as owlvit_lib
+
+        config = owlvit_lib.owlvit_base_patch32()
+        model = owlvit_lib.OwlViT(config)
+        import jax.numpy as jnp
+
+        params = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, config.image_size, config.image_size, 3)),
+            jnp.zeros((1, config.text.max_length), jnp.int32),
+        )["params"]
+        detector = FlaxOwlViTDetector(params, config)
+    else:
+        parser.error("pass --owlvit-checkpoint (or --detector-random for a "
+                     "smoke run)")
+
+    report = evaluate_run(
+        args.run_base_path, detector,
+        prompt_type=args.prompt_type, model=args.model,
+        skip_first_prompts=args.skip_first_prompts,
+        num_prompts=args.num_prompts, repeats=args.repeats,
+        score_threshold=args.detection_score_threshold,
+        nms_threshold=args.nms_threshold,
+        use_class_aware_nms=not args.no_class_aware_nms,
+        verbose=args.verbose,
+    )
+    print(report.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
