@@ -39,6 +39,10 @@ SPEC = {
 
 
 def main():
+    from lmdx.runtime import jit_cache
+
+    jit_cache.enable()
+
     from lmdx import methods
     from lmdx.runtime import models as runtime_models
 

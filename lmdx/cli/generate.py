@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the host image pins jax "
                              "to the TPU plugin; env vars are ignored)")
+    parser.add_argument("--sam-checkpoint", default=None,
+                        help="transformers SAM checkpoint dir for mask "
+                             "refinement; default: coarse box/attention masks")
     for name in FLOAT_ARGS:
         parser.add_argument("--" + name, default=None, type=float)
     for name in INT_ARGS:
@@ -146,10 +149,19 @@ def main(argv=None) -> int:
     print(f"save_dir: {save_dir}, cache: {cache_path}")
 
     bundle = None
+    segmenter = None
     if not args.dry_run:
         from ..runtime.models import load_bundle
 
         bundle = load_bundle(select_model_key(args))
+        if args.sam_checkpoint:
+            from ..nn import sam as samlib
+            from ..runtime.convert import _load_state_dict
+
+            sam_config = samlib.sam_vit_base()
+            segmenter = samlib.FlaxSamSegmenter(
+                samlib.convert_sam(_load_state_dict(args.sam_checkpoint),
+                                   sam_config), sam_config)
 
     sdxl_refiner = None
     if args.sdxl and not args.dry_run:
@@ -223,6 +235,7 @@ def main(argv=None) -> int:
                     call_kwargs = dict(run_kwargs)
                     if args.run_model in ("lmd", "lmd_plus"):
                         call_kwargs["fg_seed_start"] = ind + ind_offset + LARGE_CONSTANT
+                        call_kwargs["segmenter"] = segmenter
                         if args.no_synthetic_prompt:
                             call_kwargs["overall_prompt_override"] = prompt
                     result = method.run(spec, bundle, bg_seed=seed, **call_kwargs)

@@ -10,8 +10,10 @@ are pure functions of (spec, models, hyperparameters).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,22 +30,28 @@ class GenerationResult:
     aux: dict = field(default_factory=dict)
 
 
+@functools.partial(jax.jit, static_argnames=("vae",))
+def _vae_decode(vae, params, latents):
+    images = vae.apply({"params": params}, latents, method=vae.__class__.decode)
+    return vaelib.to_uint8(images)
+
+
+@functools.partial(jax.jit, static_argnames=("vae",))
+def _vae_encode(vae, params, images, noise):
+    return vae.apply({"params": params}, images, noise,
+                     method=vae.__class__.encode)
+
+
 def decode_latents(bundle: ModelBundle, latents) -> np.ndarray:
     """Latents (B, h, w, 4) -> uint8 images (B, H, W, 3)."""
-    images = bundle.vae.apply(
-        {"params": bundle.params["vae"]}, jnp.asarray(latents),
-        method=bundle.vae.__class__.decode,
-    )
-    return np.asarray(vaelib.to_uint8(images))
+    return np.asarray(
+        _vae_decode(bundle.vae, bundle.params["vae"], jnp.asarray(latents)))
 
 
 def encode_image(bundle: ModelBundle, image: np.ndarray, noise=None):
     """uint8 image (H, W, 3) -> scaled latents (1, h, w, 4)."""
     x = jnp.asarray(image, jnp.float32)[None] / 127.5 - 1.0
-    return bundle.vae.apply(
-        {"params": bundle.params["vae"]}, x, noise,
-        method=bundle.vae.__class__.encode,
-    )
+    return _vae_encode(bundle.vae, bundle.params["vae"], x, noise)
 
 
 def with_extra_negative(spec, negative_prompt: str) -> str:

@@ -199,9 +199,8 @@ def run(
         colors = jax.random.uniform(k_bg, (bootstrapping, 1, 1, 3)) * 2.0 - 1.0
         bg_images = jnp.broadcast_to(colors, (bootstrapping, cfg.height,
                                               cfg.width, 3))
-        consts["bootstrap_bgs"] = bundle.vae.apply(
-            {"params": bundle.params["vae"]}, bg_images,
-            method=bundle.vae.__class__.encode)
+        consts["bootstrap_bgs"] = base._vae_encode(
+            bundle.vae, bundle.params["vae"], bg_images, None)
         consts["bootstrap_noise"] = jax.random.normal(
             k_noise, (len(fg_prompts), H, W, 4), jnp.float32)
 

@@ -45,7 +45,20 @@ class ModelBundle:
 
 
 def _random_init_params(module, rng, *args, **kwargs):
-    return module.init(rng, *args, **kwargs)["params"]
+    # Jit the whole init: executed eagerly, a full-SD init dispatches ~10^3
+    # individual ops, which is pathologically slow over the remote-TPU
+    # tunnel (each eager dispatch is a round trip).
+    return jax.jit(module.init)(rng, *args, **kwargs)["params"]
+
+
+@functools.partial(jax.jit, static_argnames=("module", "eos_token_id"))
+def _text_apply(module, params, ids, eos_token_id):
+    return module.apply({"params": params}, ids, eos_token_id=eos_token_id)
+
+
+@functools.partial(jax.jit, static_argnames=("module",))
+def _position_net_apply(module, params, boxes, masks, embs):
+    return module.apply({"params": params}, boxes, masks, embs)
 
 
 def build_modules(config: SDConfig):
@@ -154,9 +167,9 @@ def encode_text(bundle: ModelBundle, texts: list[str]):
     # CLIP vocabs cover every tokenizer id.
     vocab = bundle.config.clip.vocab_size
     ids = ids % vocab
-    hidden, pooled = bundle.text_encoder.apply(
-        {"params": bundle.params["text"]}, jnp.asarray(ids),
-        eos_token_id=bundle.tokenizer.eos_id % vocab,
+    hidden, pooled = _text_apply(
+        bundle.text_encoder, bundle.params["text"], jnp.asarray(ids),
+        bundle.tokenizer.eos_id % vocab,
     )
     return hidden.astype(jnp.float32), pooled.astype(jnp.float32)
 
@@ -182,8 +195,8 @@ def encode_prompts(
 def gligen_objs(bundle: ModelBundle, boxes, masks, phrase_embeddings):
     """PositionNet forward: packed GLIGEN condition -> grounding tokens."""
     assert bundle.position_net is not None, "model has no GLIGEN adapters"
-    return bundle.position_net.apply(
-        {"params": bundle.params["position_net"]},
+    return _position_net_apply(
+        bundle.position_net, bundle.params["position_net"],
         jnp.asarray(boxes, jnp.float32),
         jnp.asarray(masks, jnp.float32),
         jnp.asarray(phrase_embeddings, jnp.float32),
