@@ -225,6 +225,12 @@ def main(argv=None) -> int:
                     ind += 1
                     continue
 
+                from ..utils import vis
+
+                vis.draw_boxes(gen_boxes, bg_prompt=bg_prompt,
+                               neg_prompt=neg_prompt).save(
+                    f"{img_dir}/boxes.png")
+
                 original_ind_base = (
                     ind_override + regenerate_ind * LARGE_CONSTANT2
                     if ind_override is not None else ind
@@ -240,6 +246,9 @@ def main(argv=None) -> int:
                             call_kwargs["overall_prompt_override"] = prompt
                     result = method.run(spec, bundle, bg_seed=seed, **call_kwargs)
                     image = result.image
+                    for so_ind, so_img in enumerate(result.so_img_list):
+                        Image.fromarray(so_img).save(
+                            f"{img_dir}/so_{repeat_ind}_{so_ind}.png")
                     if sdxl_refiner is not None:
                         image = sdxl_refiner.refine(
                             image, spec, refine_seed=seed + LARGE_CONSTANT4,

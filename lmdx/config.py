@@ -21,9 +21,14 @@ class CLIPTextConfig:
     num_layers: int = 12
     num_heads: int = 12
     max_length: int = 77
-    # "quick_gelu" for OpenAI CLIP (SD1.x), "gelu" for OpenCLIP (SD2.x)
+    # "quick_gelu" for OpenAI CLIP (SD1.x), "gelu" for OpenCLIP (SD2.x/XL)
     hidden_act: str = "quick_gelu"
     layer_norm_eps: float = 1e-5
+    # SDXL conditions on the penultimate layer's hidden states (clip-skip 2).
+    penultimate_hidden: bool = False
+    # Project the pooled embedding (CLIP text_projection); SDXL's pooled
+    # conditioning uses the projected vector.
+    use_text_projection: bool = False
 
 
 @dataclass(frozen=True)
@@ -53,8 +58,16 @@ class UNetConfig:
     # is the `attention_head_dim=8` legacy quirk: 8 *heads*, head_dim = C/8.
     # In SD2.x it's per-level head counts with head_dim 64.)
     num_attention_heads: tuple[int, ...] = (8, 8, 8, 8)
-    transformer_layers_per_block: int = 1
+    # int (uniform) or per-level tuple (SDXL: (1, 2, 10)).
+    transformer_layers_per_block: int | tuple[int, ...] = 1
     norm_num_groups: int = 32
+    # SDXL "text_time" additional conditioning: pooled text embedding +
+    # Fourier-embedded micro-conditioning ids, projected into the time
+    # embedding. None for SD1.x/2.x.
+    addition_embed_type: str | None = None
+    addition_time_embed_dim: int = 256
+    # pooled-text dim + addition_time_embed_dim * num_time_ids
+    projection_class_embeddings_input_dim: int = 2816
     # SD2.x projects in/out of the transformer with Linear instead of 1x1 conv.
     use_linear_projection: bool = False
     freq_shift: int = 0
@@ -70,6 +83,11 @@ class UNetConfig:
 
     def head_dim(self, channels: int, level: int) -> int:
         return channels // self.num_attention_heads[level]
+
+    def transformer_depth(self, level: int) -> int:
+        if isinstance(self.transformer_layers_per_block, int):
+            return self.transformer_layers_per_block
+        return self.transformer_layers_per_block[level]
 
 
 @dataclass(frozen=True)
@@ -135,6 +153,105 @@ def sd21_base() -> SDConfig:
     )
 
 
+def sdxl_refiner() -> SDConfig:
+    """SDXL refiner (img2img upsampling pass, reference
+    generation/sdxl_refinement.py uses stabilityai/stable-diffusion-xl-refiner-1.0).
+    Single OpenCLIP ViT-bigG text encoder (penultimate hidden states), 4-level
+    UNet with 4 transformer blocks per cross-attn level, text_time additional
+    conditioning with 5 micro-conditioning ids (size/crop/aesthetic)."""
+    return SDConfig(
+        key="stabilityai/stable-diffusion-xl-refiner-1.0",
+        unet=UNetConfig(
+            block_out_channels=(384, 768, 1536, 1536),
+            down_block_types=(
+                "DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                "DownBlock2D",
+            ),
+            up_block_types=(
+                "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+                "UpBlock2D",
+            ),
+            cross_attention_dim=1280,
+            num_attention_heads=(6, 12, 24, 24),
+            transformer_layers_per_block=4,
+            use_linear_projection=True,
+            addition_embed_type="text_time",
+            projection_class_embeddings_input_dim=2560,  # 1280 + 256*5
+        ),
+        clip=CLIPTextConfig(
+            hidden_size=1280, intermediate_size=5120, num_layers=32,
+            num_heads=20, hidden_act="gelu", penultimate_hidden=True,
+            use_text_projection=True,
+        ),
+        height=1024,
+        width=1024,
+    )
+
+
+def sdxl_base() -> SDConfig:
+    """SDXL base UNet (3-level, 10 transformer blocks at the lowest level).
+    NOTE: full SDXL-base conditioning concatenates two text encoders
+    (CLIP-L + OpenCLIP-bigG, 768+1280=2048); the bundle carries the bigG
+    tower and callers supply the concatenated context."""
+    return SDConfig(
+        key="stabilityai/stable-diffusion-xl-base-1.0",
+        unet=UNetConfig(
+            block_out_channels=(320, 640, 1280),
+            down_block_types=(
+                "DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+            ),
+            up_block_types=(
+                "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D",
+            ),
+            cross_attention_dim=2048,
+            num_attention_heads=(5, 10, 20),
+            transformer_layers_per_block=(1, 2, 10),
+            use_linear_projection=True,
+            addition_embed_type="text_time",
+            projection_class_embeddings_input_dim=2816,  # 1280 + 256*6
+        ),
+        clip=CLIPTextConfig(
+            hidden_size=1280, intermediate_size=5120, num_layers=32,
+            num_heads=20, hidden_act="gelu", penultimate_hidden=True,
+            use_text_projection=True,
+        ),
+        height=1024,
+        width=1024,
+    )
+
+
+def tiny_sdxl() -> SDConfig:
+    """Miniature SDXL-class config (per-level transformer depth + text_time
+    additional conditioning) for CPU tests."""
+    return SDConfig(
+        key="tiny-sdxl",
+        unet=UNetConfig(
+            block_out_channels=(32, 64),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1,
+            cross_attention_dim=32,
+            num_attention_heads=(2, 2),
+            transformer_layers_per_block=(1, 2),
+            norm_num_groups=8,
+            use_linear_projection=True,
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=32 + 8 * 5,
+        ),
+        clip=CLIPTextConfig(
+            vocab_size=1024, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=2, penultimate_hidden=True,
+            use_text_projection=True,
+        ),
+        vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                      norm_num_groups=8),
+        height=32,
+        width=32,
+        dtype="float32",
+    )
+
+
 def tiny_test() -> SDConfig:
     """A miniature config for fast CPU tests: same topology class as SD1.5
     (cross-attn down/up blocks, mid block, GLIGEN-capable) at toy width."""
@@ -166,5 +283,8 @@ SD_CONFIGS = {
     "runwayml/stable-diffusion-v1-5": sd15,
     "gligen/diffusers-generation-text-box": sd14_gligen,
     "stabilityai/stable-diffusion-2-1-base": sd21_base,
+    "stabilityai/stable-diffusion-xl-refiner-1.0": sdxl_refiner,
+    "stabilityai/stable-diffusion-xl-base-1.0": sdxl_base,
     "tiny-test": tiny_test,
+    "tiny-sdxl": tiny_sdxl,
 }

@@ -92,11 +92,13 @@ class GroundedParams:
     use_box_input: bool = False  # SAM prompt style for the attention path
     mask_th_for_point: float = 0.25
 
-    guidance_attn_keys: tuple = guidance_lib.DEFAULT_GUIDANCE_ATTN_KEYS
+    # None -> derived from the UNet topology (for SD1.x this reproduces the
+    # reference's DEFAULT_GUIDANCE_ATTN_KEYS / ("down", 2, 1, 0) exactly).
+    guidance_attn_keys: tuple | None = None
     # Attention key whose single-token map seeds mask extraction
     # (reference lmd.py:418), and the step from which maps are aggregated
     # (reference lmd.py:36).
-    obj_attn_key: tuple = ("down", 2, 1, 0)
+    obj_attn_key: tuple | None = None
     attn_aggregation_step_start: int = 10
 
     def __post_init__(self):
@@ -141,6 +143,10 @@ def run_grounded(spec, bundle, p: GroundedParams,
     H, W = cfg.latent_height, cfg.latent_width
     num_levels = len(cfg.unet.block_out_channels)
     latent_hw = (H, W)
+    if p.guidance_attn_keys is None:
+        p.guidance_attn_keys = guidance_lib.default_guidance_keys(cfg.unet)
+    if p.obj_attn_key is None:
+        p.obj_attn_key = guidance_lib.default_obj_attn_key(cfg.unet)
     segmenter = segmenter or masking.CoarseSegmenter()
     refine_cfg = refine_cfg or masking.RefineConfig(
         use_box_input=p.use_box_input, mask_th_for_point=p.mask_th_for_point)
@@ -207,49 +213,84 @@ def run_grounded(spec, bundle, p: GroundedParams,
             save_keys = tuple(dict.fromkeys(
                 (p.obj_attn_key, *p.guidance_attn_keys)))
 
-        for idx, (prompt, phrase, word, box) in enumerate(so_list):
-            indices = toklib.get_phrase_indices(
-                bundle.tokenizer, prompt, [phrase], words=[word])
-            word_token_index = indices.word_token_indices[0]
+        word_token_indices = [
+            toklib.get_phrase_indices(bundle.tokenizer, prompt, [phrase],
+                                      words=[word]).word_token_indices[0]
+            for prompt, phrase, word, _ in so_list
+        ]
+        fuser_steps = (
+            int(p.so_gligen_scheduled_sampling_beta * so_schedule.num_steps)
+            if p.use_gligen else 0
+        )
 
-            so_data = None
-            if use_so_guidance:
+        if use_so_guidance:
+            # Guided per-box passes run sequentially (the guidance loss is
+            # built per object); un-guided passes batch below.
+            outs = []
+            for idx, (prompt, phrase, word, box) in enumerate(so_list):
+                indices = toklib.get_phrase_indices(
+                    bundle.tokenizer, prompt, [phrase], words=[word])
                 so_data = guidance_lib.make_guidance_data(
                     [box], indices.object_positions, so_spec, latent_hw,
                     num_levels)
-
-            gligen_inputs = None
-            fuser_steps = 0
-            if p.use_gligen:
-                objs_full, objs_cond = base.make_gligen_inputs(
-                    bundle, [box], [phrase])
-                gligen_inputs = (objs_full, objs_cond)
-                fuser_steps = int(
-                    p.so_gligen_scheduled_sampling_beta * so_schedule.num_steps)
-
-            cond_i = so_cond[idx : idx + 1]
-            text_embeddings = jnp.concatenate([so_uncond, cond_i], axis=0)
-
+                gligen_inputs = (
+                    base.make_gligen_inputs(bundle, [box], [phrase])
+                    if p.use_gligen else None
+                )
+                cond_i = so_cond[idx : idx + 1]
+                outs.append(sample(
+                    bundle.unet, bundle.params["unet"], so_schedule,
+                    input_latents_list[idx],
+                    jnp.concatenate([so_uncond, cond_i], axis=0),
+                    cond_embeddings=cond_i,
+                    guidance_scale=p.guidance_scale,
+                    spec=so_spec, guidance_data=so_data, max_iter=p.max_iter,
+                    gligen=gligen_inputs, num_fuser_steps=fuser_steps,
+                    save_all_latents=True, save_keys=save_keys,
+                    save_cond_only=True, save_single_token=True,
+                    tap_token_index=word_token_indices[idx],
+                ))
+            all_latents = jnp.concatenate([o.all_latents for o in outs], axis=1)
+            saved_taps = {
+                k: jnp.concatenate([o.saved_taps[k] for o in outs], axis=1)
+                for k in outs[0].saved_taps
+            }
+            final_latents = jnp.concatenate([o.latents for o in outs], axis=0)
+        else:
+            # All per-box passes share shapes and have no data-dependent
+            # control flow, so they ride ONE batched sampler call — a large
+            # MXU-utilization win over the reference's sequential per-box
+            # diffusions (lmd_plus.py:162-189).
+            n = len(so_list)
+            batched_latents = jnp.concatenate(input_latents_list, axis=0)
+            text_embeddings = jnp.concatenate(
+                [jnp.repeat(so_uncond, n, axis=0), so_cond], axis=0)
+            gligen_inputs = (
+                base.make_gligen_inputs_batched(
+                    bundle, [x[3] for x in so_list], [x[1] for x in so_list])
+                if p.use_gligen else None
+            )
             out = sample(
                 bundle.unet, bundle.params["unet"], so_schedule,
-                input_latents_list[idx], text_embeddings,
-                cond_embeddings=cond_i,
+                batched_latents, text_embeddings,
                 guidance_scale=p.guidance_scale,
-                spec=so_spec if use_so_guidance else None,
-                guidance_data=so_data,
-                max_iter=p.max_iter,
-                gligen=gligen_inputs,
-                num_fuser_steps=fuser_steps,
-                save_all_latents=True,
-                save_keys=save_keys,
-                save_cond_only=True,
-                save_single_token=True,
-                tap_token_index=word_token_index,
+                gligen=gligen_inputs, num_fuser_steps=fuser_steps,
+                save_all_latents=True, save_keys=save_keys,
+                save_cond_only=True, save_single_token=True,
+                tap_token_index=np.asarray(word_token_indices, np.int32),
             )
+            all_latents, saved_taps, final_latents = (
+                out.all_latents, out.saved_taps, out.latents)
 
-            so_image = base.decode_latents(bundle, out.latents)[0] \
-                if (return_so_images or segmenter is not None) else None
+        so_images_arr = (
+            base.decode_latents(bundle, final_latents)
+            if (return_so_images or segmenter is not None) else None
+        )
 
+        all_latents_np = np.asarray(all_latents)
+        saved_taps_np = {k: np.asarray(v) for k, v in saved_taps.items()}
+        for idx, (_, _, _, box) in enumerate(so_list):
+            so_image = so_images_arr[idx] if so_images_arr is not None else None
             if p.use_gligen:
                 # LMD+: the box itself prompts the segmenter (sam.py:182-213).
                 mask = masking.refine_mask_from_box(
@@ -257,17 +298,17 @@ def run_grounded(spec, bundle, p: GroundedParams,
             else:
                 # LMD: aggregated word-token attention prompts the segmenter.
                 attn_map = compose_lib.aggregate_token_attention(
-                    out.saved_taps[p.obj_attn_key],
+                    saved_taps_np[p.obj_attn_key][:, idx : idx + 1],
                     start_step=p.attn_aggregation_step_start)
                 mask = masking.refine_mask_from_attn(
                     attn_map, so_image, latent_hw, segmenter, refine_cfg)
 
-            latents_all_list.append(np.asarray(out.all_latents))
+            latents_all_list.append(all_latents_np[:, idx : idx + 1])
             mask_list.append(mask)
             if p.use_ref_ca:
                 ref_taps_per_box.append({
-                    k: np.asarray(v)[:, 0, :, :, 0]  # (T, heads, n)
-                    for k, v in out.saved_taps.items()
+                    k: v[:, idx, :, :, 0]  # (T, heads, n)
+                    for k, v in saved_taps_np.items()
                     if k in p.guidance_attn_keys
                 })
             if return_so_images:

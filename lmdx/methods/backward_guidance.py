@@ -33,9 +33,11 @@ def run(
     num_inference_steps: int = 50,
     guidance_scale: float = 7.5,
     negative_prompt: str = DEFAULT_OVERALL_NEGATIVE_PROMPT,
-    guidance_attn_keys=guidance_lib.DEFAULT_GUIDANCE_ATTN_KEYS,
+    guidance_attn_keys=None,
 ) -> base.GenerationResult:
     cfg = bundle.config
+    if guidance_attn_keys is None:
+        guidance_attn_keys = guidance_lib.default_guidance_keys(cfg.unet)
     converted = convert_spec(spec, *BOX_SCALE)
     phrases = [p for p, _, _ in converted.overall_phrases_words_bboxes]
     words = [w for _, w, _ in converted.overall_phrases_words_bboxes]

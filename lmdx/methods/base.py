@@ -96,6 +96,32 @@ def make_gligen_inputs(
     return objs_full, objs_cond
 
 
+def make_gligen_inputs_batched(bundle: ModelBundle, bboxes: list,
+                               phrases: list[str]):
+    """Per-box grounding for the batched per-box passes: image i grounds
+    only box i (slot 0). Returns (objs_full (2N, M, D), objs_cond (N, M, D))
+    with the uncond half's grounding nulled."""
+    from ..runtime import models as runtime_models
+
+    n = len(bboxes)
+    max_objs = bundle.config.unet.gligen_max_objs
+    _, pooled = runtime_models.encode_text(bundle, phrases)
+    pooled = np.asarray(pooled)
+
+    boxes = np.zeros((n, max_objs, 4), np.float32)
+    embs = np.zeros((n, max_objs, pooled.shape[-1]), np.float32)
+    masks = np.zeros((n, max_objs), np.float32)
+    boxes[:, 0] = np.asarray(bboxes, np.float32)
+    embs[:, 0] = pooled
+    masks[:, 0] = 1.0
+
+    boxes2 = np.concatenate([boxes, boxes], axis=0)
+    embs2 = np.concatenate([embs, embs], axis=0)
+    masks2 = np.concatenate([np.zeros_like(masks), masks], axis=0)
+    objs_full = runtime_models.gligen_objs(bundle, boxes2, masks2, embs2)
+    return objs_full, objs_full[n:]
+
+
 def spec_get(spec, key, default=None):
     if isinstance(spec, dict):
         return spec.get(key, default)

@@ -74,11 +74,31 @@ def img2img(
         alphas_cumprod=schedule.alphas_cumprod,
         final_alpha_cumprod=schedule.final_alpha_cumprod,
     )
-    uncond, cond = runtime_models.encode_prompts(bundle, [prompt], negative_prompt)
+    cond, cond_pooled = runtime_models.encode_text(bundle, [prompt])
+    uncond, uncond_pooled = runtime_models.encode_text(bundle, [negative_prompt])
     text_embeddings = jnp.concatenate([uncond, cond], axis=0)
 
+    added_cond = None
+    ucfg = bundle.config.unet
+    if ucfg.addition_embed_type == "text_time":
+        # SDXL micro-conditioning ids: refiner (5) = size + crop + aesthetic
+        # score (6.0 cond / 2.5 uncond); base (6) = size + crop + target size.
+        pooled_dim = bundle.config.clip.hidden_size
+        num_ids = (ucfg.projection_class_embeddings_input_dim
+                   - pooled_dim) // ucfg.addition_time_embed_dim
+        h, w = image.shape[:2]
+        if num_ids == 5:
+            ids_cond = [h, w, 0, 0, 6.0]
+            ids_uncond = [h, w, 0, 0, 2.5]
+        else:
+            ids_cond = ids_uncond = [h, w, 0, 0, h, w]
+        time_ids = jnp.asarray([ids_uncond, ids_cond], jnp.float32)
+        pooled = jnp.concatenate([uncond_pooled, cond_pooled], axis=0)
+        added_cond = (pooled, time_ids)
+
     out = sample(bundle.unet, bundle.params["unet"], tail, latents,
-                 text_embeddings, guidance_scale=guidance_scale)
+                 text_embeddings, guidance_scale=guidance_scale,
+                 added_cond=added_cond)
     return base.decode_latents(bundle, out.latents)[0]
 
 

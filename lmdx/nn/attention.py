@@ -132,9 +132,16 @@ class CrossAttention(nn.Module):
             if taps.single_token:
                 if tap_token_index is None:
                     raise ValueError("TapSpec.single_token requires tap_token_index")
-                export = jax.lax.dynamic_slice_in_dim(
-                    export, tap_token_index, 1, axis=-1
-                )
+                idx = jnp.asarray(tap_token_index)
+                if idx.ndim == 0:
+                    export = jax.lax.dynamic_slice_in_dim(
+                        export, idx, 1, axis=-1
+                    )
+                else:
+                    # Per-batch-element token column (batched per-box passes).
+                    export = jnp.take_along_axis(
+                        export, idx[:, None, None, None], axis=-1
+                    )
             self.sow("taps", self.tap_name, export, reduce_fn=lambda _, b: b)
             out = jnp.einsum(
                 "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,

@@ -86,8 +86,11 @@ class CLIPTextEncoder(nn.Module):
         causal = jnp.triu(jnp.full((l, l), -1e9, dtype=jnp.float32), k=1)
         mask = causal[None, None]
 
+        penultimate = None
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x, mask)
+            if i == cfg.num_layers - 2:
+                penultimate = x
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="final_layer_norm")(x)
@@ -95,4 +98,10 @@ class CLIPTextEncoder(nn.Module):
         # Pooled output: hidden state at the first EOS token position.
         eos_pos = jnp.argmax((input_ids == eos_token_id).astype(jnp.int32), axis=-1)
         pooled = x[jnp.arange(b), eos_pos]
-        return x, pooled
+        if cfg.use_text_projection:
+            pooled = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                              name="text_projection")(pooled)
+
+        # SDXL conditions on the raw penultimate hidden states (clip-skip 2).
+        hidden = penultimate if cfg.penultimate_hidden else x
+        return hidden, pooled

@@ -114,6 +114,11 @@ def _kernel_supported(q, k) -> bool:
     lk = k.shape[2]
     if d > 256 or lq < 8:
         return False
+    if lk < 256:
+        # Cross-attention (77 text tokens) and tiny self-attention: padding
+        # K/V to the 128-lane tile wastes more than fusion saves — measured
+        # slower than the XLA path on v5e.
+        return False
     # Full K/V + one score block must fit VMEM with headroom.
     lk_pad = -(-lk // 128) * 128
     vmem = 2 * lk_pad * d * 4 + _pick_block_q(lq) * (lk_pad + 2 * d) * 4

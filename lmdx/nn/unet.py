@@ -103,6 +103,8 @@ class UNet2DCondition(nn.Module):
         fuser_gate=1.0,
         taps: TapSpec = NO_TAPS,
         tap_token_index: jnp.ndarray | None = None,
+        added_text_embeds: jnp.ndarray | None = None,  # (B, pooled_dim) SDXL
+        added_time_ids: jnp.ndarray | None = None,     # (B, num_ids) SDXL
     ):
         cfg = self.config
         timesteps = jnp.asarray(timesteps)
@@ -115,6 +117,24 @@ class UNet2DCondition(nn.Module):
         )
         t_emb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
                                   name="time_embedding")(t_feat)
+
+        if cfg.addition_embed_type == "text_time":
+            # SDXL micro-conditioning: Fourier-embed each conditioning id,
+            # concat with the pooled text embedding, project into the time
+            # embedding (diffusers add_embedding parity).
+            if added_text_embeds is None or added_time_ids is None:
+                raise ValueError(
+                    "text_time conditioning needs added_text_embeds and "
+                    "added_time_ids")
+            ids = added_time_ids.reshape(-1)
+            id_emb = timestep_embedding(
+                ids, cfg.addition_time_embed_dim,
+                flip_sin_to_cos=cfg.flip_sin_to_cos, freq_shift=cfg.freq_shift,
+            ).reshape(added_time_ids.shape[0], -1)
+            aug = jnp.concatenate(
+                [added_text_embeds.astype(id_emb.dtype), id_emb], axis=-1)
+            t_emb = t_emb + TimestepEmbedding(
+                cfg.time_embed_dim, dtype=self.dtype, name="add_embedding")(aug)
 
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
@@ -132,7 +152,7 @@ class UNet2DCondition(nn.Module):
                     out_channels=out_ch, num_layers=cfg.layers_per_block,
                     heads=cfg.num_attention_heads[i],
                     context_dim=cfg.cross_attention_dim,
-                    transformer_depth=cfg.transformer_layers_per_block,
+                    transformer_depth=cfg.transformer_depth(i),
                     norm_num_groups=cfg.norm_num_groups,
                     add_downsample=not is_last,
                     use_linear_projection=cfg.use_linear_projection,
@@ -154,7 +174,7 @@ class UNet2DCondition(nn.Module):
             channels=cfg.block_out_channels[-1],
             heads=cfg.num_attention_heads[-1],
             context_dim=cfg.cross_attention_dim,
-            transformer_depth=cfg.transformer_layers_per_block,
+            transformer_depth=cfg.transformer_depth(len(cfg.block_out_channels) - 1),
             norm_num_groups=cfg.norm_num_groups,
             use_linear_projection=cfg.use_linear_projection,
             use_gated_attention=cfg.use_gligen,
@@ -173,7 +193,7 @@ class UNet2DCondition(nn.Module):
                     out_channels=out_ch, num_layers=cfg.layers_per_block + 1,
                     heads=cfg.num_attention_heads[level],
                     context_dim=cfg.cross_attention_dim,
-                    transformer_depth=cfg.transformer_layers_per_block,
+                    transformer_depth=cfg.transformer_depth(level),
                     norm_num_groups=cfg.norm_num_groups,
                     add_upsample=not is_last,
                     use_linear_projection=cfg.use_linear_projection,
@@ -198,7 +218,8 @@ class UNet2DCondition(nn.Module):
 
 
 def apply_unet(unet: UNet2DCondition, params, sample, timesteps, encoder_hidden_states,
-               objs=None, fuser_gate=1.0, taps: TapSpec = NO_TAPS, tap_token_index=None):
+               objs=None, fuser_gate=1.0, taps: TapSpec = NO_TAPS, tap_token_index=None,
+               added_text_embeds=None, added_time_ids=None):
     """Apply the UNet, returning (eps, {AttnKey: probs}).
 
     Flattens the sown "taps" collection back into the reference's 4-tuple key
@@ -207,6 +228,7 @@ def apply_unet(unet: UNet2DCondition, params, sample, timesteps, encoder_hidden_
     out = unet.apply(
         {"params": params}, sample, timesteps, encoder_hidden_states,
         objs=objs, fuser_gate=fuser_gate, taps=taps, tap_token_index=tap_token_index,
+        added_text_embeds=added_text_embeds, added_time_ids=added_time_ids,
         mutable=["taps"] if taps else False,
     )
     if not taps:

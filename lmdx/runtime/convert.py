@@ -136,7 +136,6 @@ def _transformer2d(sd, key, depth: int, use_linear_projection: bool,
 
 def convert_unet(sd: dict, config: SDConfig) -> dict:
     ucfg = config.unet
-    depth = ucfg.transformer_layers_per_block
     params = {
         "conv_in": _conv(sd, "conv_in"),
         "time_embedding": {
@@ -146,6 +145,11 @@ def convert_unet(sd: dict, config: SDConfig) -> dict:
         "conv_norm_out": _norm(sd, "conv_norm_out"),
         "conv_out": _conv(sd, "conv_out"),
     }
+    if ucfg.addition_embed_type == "text_time":
+        params["add_embedding"] = {
+            "linear_1": _linear(sd, "add_embedding.linear_1"),
+            "linear_2": _linear(sd, "add_embedding.linear_2"),
+        }
 
     for i, block_type in enumerate(ucfg.down_block_types):
         block = {}
@@ -153,7 +157,8 @@ def convert_unet(sd: dict, config: SDConfig) -> dict:
             block[f"resnets_{j}"] = _resnet(sd, f"down_blocks.{i}.resnets.{j}")
             if block_type == "CrossAttnDownBlock2D":
                 block[f"attentions_{j}"] = _transformer2d(
-                    sd, f"down_blocks.{i}.attentions.{j}", depth,
+                    sd, f"down_blocks.{i}.attentions.{j}",
+                    ucfg.transformer_depth(i),
                     ucfg.use_linear_projection, ucfg.use_gligen)
         if f"down_blocks.{i}.downsamplers.0.conv.weight" in sd:
             block["downsample"] = {"conv": _conv(
@@ -164,7 +169,8 @@ def convert_unet(sd: dict, config: SDConfig) -> dict:
         "resnets_0": _resnet(sd, "mid_block.resnets.0"),
         "resnets_1": _resnet(sd, "mid_block.resnets.1"),
         "attentions_0": _transformer2d(
-            sd, "mid_block.attentions.0", depth,
+            sd, "mid_block.attentions.0",
+            ucfg.transformer_depth(len(ucfg.block_out_channels) - 1),
             ucfg.use_linear_projection, ucfg.use_gligen),
     }
 
@@ -174,7 +180,8 @@ def convert_unet(sd: dict, config: SDConfig) -> dict:
             block[f"resnets_{j}"] = _resnet(sd, f"up_blocks.{i}.resnets.{j}")
             if block_type == "CrossAttnUpBlock2D":
                 block[f"attentions_{j}"] = _transformer2d(
-                    sd, f"up_blocks.{i}.attentions.{j}", depth,
+                    sd, f"up_blocks.{i}.attentions.{j}",
+                    ucfg.transformer_depth(len(ucfg.block_out_channels) - 1 - i),
                     ucfg.use_linear_projection, ucfg.use_gligen)
         if f"up_blocks.{i}.upsamplers.0.conv.weight" in sd:
             block["upsample"] = {"conv": _conv(
@@ -208,6 +215,10 @@ def convert_text_encoder(sd: dict, config: SDConfig) -> dict:
         "position_embedding": sd[f"{prefix}embeddings.position_embedding.weight"],
         "final_layer_norm": _norm(sd, f"{prefix}final_layer_norm"),
     }
+    if config.clip.use_text_projection:
+        # CLIPTextModelWithProjection stores it beside text_model.*
+        params["text_projection"] = {
+            "kernel": sd["text_projection.weight"].transpose(1, 0)}
     for i in range(config.clip.num_layers):
         lk = f"{prefix}encoder.layers.{i}"
         params[f"layers_{i}"] = {

@@ -92,9 +92,18 @@ def init_random_params(config: SDConfig, seed: int = 0) -> dict:
         if config.unet.use_gligen
         else None
     )
+    added = {}
+    if config.unet.addition_embed_type == "text_time":
+        pooled_dim = config.clip.hidden_size
+        num_ids = (config.unet.projection_class_embeddings_input_dim
+                   - pooled_dim) // config.unet.addition_time_embed_dim
+        added = {
+            "added_text_embeds": jnp.zeros((1, pooled_dim), jnp.float32),
+            "added_time_ids": jnp.zeros((1, num_ids), jnp.float32),
+        }
     params = {
         "unet": _random_init_params(unet, k_unet, latents, jnp.zeros((1,), jnp.int32),
-                                    text, objs=objs),
+                                    text, objs=objs, **added),
         "text": _random_init_params(
             text_encoder, k_text,
             jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32),

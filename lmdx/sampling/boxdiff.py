@@ -37,6 +37,22 @@ BOXDIFF_GUIDANCE_ATTN_KEYS: tuple[AttnKey, ...] = (
 )
 
 
+def default_boxdiff_keys(ucfg) -> tuple[AttnKey, ...]:
+    """Topology-generic BOXDIFF_GUIDANCE_ATTN_KEYS: every attention of the
+    last cross-attn down block + every attention of the first cross-attn up
+    block (matches the reference set on SD1.x, where both sit at 16x16)."""
+    keys: list[AttnKey] = []
+    for i in reversed(range(len(ucfg.down_block_types))):
+        if ucfg.down_block_types[i] == "CrossAttnDownBlock2D":
+            keys.extend(("down", i, j, 0) for j in range(ucfg.layers_per_block))
+            break
+    for i, block_type in enumerate(ucfg.up_block_types):
+        if block_type == "CrossAttnUpBlock2D":
+            keys.extend(("up", i, j, 0) for j in range(ucfg.layers_per_block + 1))
+            break
+    return tuple(keys)
+
+
 @dataclass(frozen=True)
 class BoxDiffSpec:
     """Static BoxDiff hyperparameters (reference utils/boxdiff.py:165,190)."""

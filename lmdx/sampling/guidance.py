@@ -39,6 +39,28 @@ DEFAULT_GUIDANCE_ATTN_KEYS: tuple[AttnKey, ...] = (
 )
 
 
+def default_guidance_keys(ucfg) -> tuple[AttnKey, ...]:
+    """Topology-generic form of DEFAULT_GUIDANCE_ATTN_KEYS: the mid block's
+    attention plus every attention of the first cross-attention up block
+    (for SD1.x this reproduces the reference key set exactly)."""
+    keys: list[AttnKey] = [("mid", 0, 0, 0)]
+    for i, block_type in enumerate(ucfg.up_block_types):
+        if block_type == "CrossAttnUpBlock2D":
+            for j in range(ucfg.layers_per_block + 1):
+                keys.append(("up", i, j, 0))
+            break
+    return tuple(keys)
+
+
+def default_obj_attn_key(ucfg) -> AttnKey:
+    """Topology-generic form of the mask-extraction key ("down", 2, 1, 0) —
+    the last attention of the last cross-attention down block."""
+    for i in reversed(range(len(ucfg.down_block_types))):
+        if ucfg.down_block_types[i] == "CrossAttnDownBlock2D":
+            return ("down", i, ucfg.layers_per_block - 1, 0)
+    raise ValueError("UNet has no cross-attention down blocks")
+
+
 @dataclass(frozen=True)
 class GuidanceSpec:
     """Static guidance hyperparameters (defaults: backward guidance,

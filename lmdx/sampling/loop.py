@@ -83,6 +83,14 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
         if static.save_taps else NO_TAPS
     )
     tap_token_index = consts.get("tap_token_index")
+    added_full = {
+        "added_text_embeds": consts.get("added_text_embeds"),
+        "added_time_ids": consts.get("added_time_ids"),
+    }
+    added_cond = {
+        "added_text_embeds": consts.get("added_text_embeds_cond"),
+        "added_time_ids": consts.get("added_time_ids_cond"),
+    }
 
     def step(carry, x):
         latents, loss = carry
@@ -95,7 +103,7 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
                 _, taps = apply_unet(
                     unet, params, lat, t, cond_embeddings,
                     objs=objs_null, fuser_gate=fuser_gate,
-                    taps=static.spec.tap_spec,
+                    taps=static.spec.tap_spec, **added_cond,
                 )
                 return taps
 
@@ -119,7 +127,7 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
         eps, taps = apply_unet(
             unet, params, latent_in, t, text_embeddings,
             objs=objs_full, fuser_gate=fuser_gate,
-            taps=save_tapspec, tap_token_index=tap_token_index,
+            taps=save_tapspec, tap_token_index=tap_token_index, **added_full,
         )
         eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
         eps = eps_uncond + static.guidance_scale * (eps_cond - eps_uncond)
@@ -179,6 +187,7 @@ def sample(
     save_cond_only: bool = False,
     save_single_token: bool = False,
     tap_token_index=None,
+    added_cond: tuple | None = None,   # (text_embeds (2B,D), time_ids (2B,K))
     initial_loss: float = 10000.0,
 ) -> SampleOutput:
     """Run a full grounded-diffusion sampling pass.
@@ -208,6 +217,12 @@ def sample(
         consts["guidance_data"] = guidance_data
     if tap_token_index is not None:
         consts["tap_token_index"] = jnp.asarray(tap_token_index, dtype=jnp.int32)
+    if added_cond is not None:
+        text_e, time_ids = added_cond
+        consts["added_text_embeds"] = text_e
+        consts["added_time_ids"] = time_ids
+        consts["added_text_embeds_cond"] = text_e[text_e.shape[0] // 2 :]
+        consts["added_time_ids_cond"] = time_ids[time_ids.shape[0] // 2 :]
 
     all_latents = [latents] if save_all_latents else None
     saved_taps: list | None = [] if save_keys else None

@@ -233,6 +233,9 @@ def convert_spec(spec, height: int, width: int, include_counts: bool = True) -> 
         spec = spec.as_dict()
     gen_boxes, bg_prompt = spec["gen_boxes"], spec.get("bg_prompt", "")
 
+    # Accept both ('name', box) tuples and {'name','bounding_box'} dicts
+    # (stage-1 helpers emit the dict format, reference utils/llm.py:113-140).
+    gen_boxes = [(_unpack_box(b)[0], _unpack_box(b)[1]) for b in gen_boxes]
     gen_boxes = sorted(gen_boxes, key=lambda b: b[0])
     gen_boxes = [
         (name, boxlib.convert_box_xywh_to_xyxy_norm(box, height=height, width=width))

@@ -123,3 +123,22 @@ def test_graft_entry_single():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == args[1].shape
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    from lmdx.training import checkpoint as ckpt
+
+    _, unet, params, batch = tiny_setup
+    schedule = sched.make_schedule(10)
+    optimizer = trainlib.make_optimizer(1e-3)
+    state = trainlib.init_train_state(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
+        optimizer)
+    path = str(tmp_path / "step_1")
+    ckpt.save(path, state)
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = ckpt.restore(path, template)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.latest_step_dir(str(tmp_path)).endswith("step_1")

@@ -25,14 +25,14 @@ SPEC = {
     "extra_neg_prompt": "",
 }
 
+# Guidance keys and the obj-attn key are derived from the tiny topology
+# (guidance.default_guidance_keys / default_obj_attn_key).
 GROUNDED_OVERRIDES = dict(
     num_inference_steps=10,
     max_iter=1,
     overall_max_iter=1,
     max_index_step=2,
     overall_max_index_step=2,
-    guidance_attn_keys=TINY_KEYS,
-    obj_attn_key=TINY_OBJ_KEY,
     attn_aggregation_step_start=4,
 )
 
@@ -68,7 +68,7 @@ def test_gligen(bundle):
 def test_backward_guidance(bundle):
     result = methods.backward_guidance.run(
         SPEC, bundle, num_inference_steps=6, overall_max_iter=1,
-        overall_max_index_step=2, guidance_attn_keys=TINY_KEYS,
+        overall_max_index_step=2,
     )
     _check_image(result, bundle)
 
@@ -114,7 +114,6 @@ def test_method_registry():
 def test_boxdiff(bundle):
     result = methods.boxdiff.run(
         SPEC, bundle, num_inference_steps=6, overall_max_index_step=2,
-        guidance_attn_keys=(("down", 0, 0, 0), ("up", 1, 0, 0), ("up", 1, 1, 0)),
     )
     _check_image(result, bundle)
 
@@ -154,3 +153,15 @@ def test_invert_roundtrip(bundle):
     final, traj = invert(bundle.unet, bundle.params["unet"], schedule, x0, te)
     assert traj.shape == (9, 1, h, h, 4)
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_sdxl_family_img2img():
+    """tiny-sdxl: per-level transformer depth + text_time conditioning."""
+    b = runtime_models.load_bundle("tiny-sdxl", seed=1)
+    base_img = (np.random.RandomState(0)
+                .randint(0, 255, (32, 32, 3)).astype(np.uint8))
+    refined = methods.sdxl_refine.refine(
+        base_img, SPEC, refine_seed=3, refinement_step_ratio=0.5,
+        bundle=b, target_size=b.config.height)
+    assert refined.shape == (32, 32, 3)
+    assert refined.dtype == np.uint8
