@@ -43,9 +43,21 @@ def _vae_encode(vae, params, images, noise):
 
 
 def decode_latents(bundle: ModelBundle, latents) -> np.ndarray:
-    """Latents (B, h, w, 4) -> uint8 images (B, H, W, 3)."""
-    return np.asarray(
-        _vae_decode(bundle.vae, bundle.params["vae"], jnp.asarray(latents)))
+    """Latents (B, h, w, 4) -> uint8 images (B, H, W, 3).
+
+    Batch is padded to a power-of-two bucket so varying box counts reuse a
+    handful of compiled decoders instead of one per distinct N."""
+    latents = jnp.asarray(latents)
+    n = latents.shape[0]
+    bucket = 1
+    while bucket < n:
+        bucket *= 2
+    if bucket != n:
+        latents = jnp.concatenate(
+            [latents, jnp.zeros((bucket - n, *latents.shape[1:]),
+                                latents.dtype)], axis=0)
+    out = _vae_decode(bundle.vae, bundle.params["vae"], latents)
+    return np.asarray(out[:n])
 
 
 def encode_image(bundle: ModelBundle, image: np.ndarray, noise=None):

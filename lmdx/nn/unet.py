@@ -105,8 +105,15 @@ class UNet2DCondition(nn.Module):
         tap_token_index: jnp.ndarray | None = None,
         added_text_embeds: jnp.ndarray | None = None,  # (B, pooled_dim) SDXL
         added_time_ids: jnp.ndarray | None = None,     # (B, num_ids) SDXL
+        stop_after_taps: bool = False,
     ):
+        """When `stop_after_taps` is set, the forward ends right after the
+        last block containing a tapped attention layer: guidance passes
+        consume only the tapped probability maps, so everything downstream
+        of the last tap (for SD: up blocks 2-3, the highest-resolution and
+        most expensive) is dead compute. Returns None in place of eps."""
         cfg = self.config
+        stop_point = _last_tap_point(taps) if stop_after_taps else None
         timesteps = jnp.asarray(timesteps)
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -169,6 +176,8 @@ class UNet2DCondition(nn.Module):
             else:
                 raise ValueError(block_type)
             residuals.extend(res)
+            if stop_point == ("down", i):
+                return None
 
         x = MidBlock(
             channels=cfg.block_out_channels[-1],
@@ -180,6 +189,8 @@ class UNet2DCondition(nn.Module):
             use_gated_attention=cfg.use_gligen,
             dtype=self.dtype, name="mid_block",
         )(x, t_emb, context, **ca_kwargs)
+        if stop_point == ("mid", 0):
+            return None
 
         reversed_channels = list(reversed(cfg.block_out_channels))
         for i, block_type in enumerate(cfg.up_block_types):
@@ -209,6 +220,8 @@ class UNet2DCondition(nn.Module):
                 )(x, res, t_emb)
             else:
                 raise ValueError(block_type)
+            if stop_point == ("up", i):
+                return None
 
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
                          dtype=jnp.float32, name="conv_norm_out")(x)
@@ -217,18 +230,35 @@ class UNet2DCondition(nn.Module):
         return x.astype(jnp.float32)
 
 
+def _last_tap_point(taps: TapSpec):
+    """Static stop point: the last (place, block) containing a tapped layer,
+    in forward order down_0..down_n, mid, up_0..up_n."""
+    if not taps:
+        return None
+    down = [k[1] for k in taps.keys if k[0] == "down"]
+    mid = [k for k in taps.keys if k[0] == "mid"]
+    up = [k[1] for k in taps.keys if k[0] == "up"]
+    if up:
+        return ("up", max(up))
+    if mid:
+        return ("mid", 0)
+    return ("down", max(down))
+
+
 def apply_unet(unet: UNet2DCondition, params, sample, timesteps, encoder_hidden_states,
                objs=None, fuser_gate=1.0, taps: TapSpec = NO_TAPS, tap_token_index=None,
-               added_text_embeds=None, added_time_ids=None):
+               added_text_embeds=None, added_time_ids=None, stop_after_taps=False):
     """Apply the UNet, returning (eps, {AttnKey: probs}).
 
     Flattens the sown "taps" collection back into the reference's 4-tuple key
-    space (pipelines.py:12-14) for the guidance losses.
+    space (pipelines.py:12-14) for the guidance losses. With
+    `stop_after_taps`, eps is None and only the taps are computed.
     """
     out = unet.apply(
         {"params": params}, sample, timesteps, encoder_hidden_states,
         objs=objs, fuser_gate=fuser_gate, taps=taps, tap_token_index=tap_token_index,
         added_text_embeds=added_text_embeds, added_time_ids=added_time_ids,
+        stop_after_taps=stop_after_taps,
         mutable=["taps"] if taps else False,
     )
     if not taps:

@@ -165,10 +165,21 @@ def load_bundle(
     )
 
 
+def _bucket(n: int) -> int:
+    """Next power-of-two batch bucket — keeps the number of compiled batch
+    shapes logarithmic in the box count instead of one per distinct N."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 def encode_text(bundle: ModelBundle, texts: list[str]):
     """Encode raw texts -> (last_hidden (N, 77, D), pooled (N, D))."""
+    n = len(texts)
     ids = np.asarray(
-        [bundle.tokenizer.encode(t, pad_to=toklib.MAX_LENGTH) for t in texts],
+        [bundle.tokenizer.encode(t, pad_to=toklib.MAX_LENGTH) for t in texts]
+        + [[bundle.tokenizer.eos_id] * toklib.MAX_LENGTH] * (_bucket(n) - n),
         np.int32,
     )
     # Fold ids into the model's vocab: out-of-range embedding lookups fill
@@ -180,7 +191,7 @@ def encode_text(bundle: ModelBundle, texts: list[str]):
         bundle.text_encoder, bundle.params["text"], jnp.asarray(ids),
         bundle.tokenizer.eos_id % vocab,
     )
-    return hidden.astype(jnp.float32), pooled.astype(jnp.float32)
+    return hidden[:n].astype(jnp.float32), pooled[:n].astype(jnp.float32)
 
 
 def encode_prompts(

@@ -79,9 +79,12 @@ class GuidanceSpec:
 
     @property
     def tap_spec(self) -> TapSpec:
-        # Guidance forwards keep the XLA attention path for clean gradients
-        # (reference disables flash attention under guidance).
-        return TapSpec(keys=self.keys, fused=False)
+        # Untapped layers take the fused (Pallas) forward; its custom VJP
+        # routes gradients through the XLA formulation, so guidance gradients
+        # stay exact while the forward stays fast. (The reference disables
+        # flash attention under guidance because torch flash cannot export
+        # probabilities — our tapped layers export regardless.)
+        return TapSpec(keys=self.keys, fused=True)
 
 
 # Traced, padded per-prompt guidance inputs — a plain dict pytree with keys:

@@ -12,14 +12,34 @@ precision would change the sample stream (reference latents.py:10-16).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 SEED_COLLISION_BUMP = 12345  # reference utils/latents.py:144-147
 
 
-def noise_from_seed(seed: int, shape, dtype=jnp.float32) -> jnp.ndarray:
-    """Standard-normal latent noise for an integer seed (fp32 then cast)."""
+def noise_from_seed(seed: int, shape, dtype=jnp.float32,
+                    backend: str | None = None) -> jnp.ndarray:
+    """Standard-normal latent noise for an integer seed (fp32 then cast).
+
+    backend "jax" (default) uses the jax PRNG; "torch" (or
+    LMDX_NOISE_BACKEND=torch) reproduces the reference's noise stream
+    bit-exactly — torch.manual_seed + randn in NCHW, transposed to NHWC
+    (utils/latents.py:13-16) — for A/B output comparison against the
+    PyTorch implementation.
+    """
+    backend = backend or os.environ.get("LMDX_NOISE_BACKEND", "jax")
+    if backend == "torch":
+        import numpy as np
+        import torch
+
+        b, h, w, c = shape
+        generator = torch.manual_seed(seed)
+        x = torch.randn((b, c, h, w), generator=generator,
+                        dtype=torch.float32)
+        return jnp.asarray(np.asarray(x).transpose(0, 2, 3, 1)).astype(dtype)
     key = jax.random.key(seed)
     return jax.random.normal(key, shape, dtype=jnp.float32).astype(dtype)
 

@@ -100,10 +100,13 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
             cond_embeddings = consts["cond_embeddings"]
 
             def unet_taps(lat):
+                # Early-exit forward: blocks after the last tapped layer are
+                # never computed (their fwd AND bwd are dead w.r.t. the loss).
                 _, taps = apply_unet(
                     unet, params, lat, t, cond_embeddings,
                     objs=objs_null, fuser_gate=fuser_gate,
-                    taps=static.spec.tap_spec, **added_cond,
+                    taps=static.spec.tap_spec, stop_after_taps=True,
+                    **added_cond,
                 )
                 return taps
 

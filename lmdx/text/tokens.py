@@ -107,6 +107,10 @@ class ClipBpeTokenizer:
         self.encoder = vocab
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
         self.cache: dict[str, str] = {}
+        # Special-token ids come from the vocab itself (full CLIP vocabs put
+        # them at 49406/49407; reduced test vocabs may not).
+        self.bos_id = vocab.get(self.bos_token, BOS_ID)
+        self.eos_id = vocab.get(self.eos_token, EOS_ID)
 
     @classmethod
     def from_dir(cls, path: str) -> "ClipBpeTokenizer":
@@ -137,6 +141,11 @@ class ClipBpeTokenizer:
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
         return cls({t: i for i, t in enumerate(vocab)}, merges)
 
+    def token_id_or_eos(self, token: str) -> int:
+        """Full CLIP vocabs cover every char+</w>; partial test vocabs fall
+        back to eos instead of raising."""
+        return self.encoder.get(token, self.encoder.get(self.eos_token, 0))
+
     def _bpe(self, word: str) -> list[str]:
         if word in self.cache:
             return self.cache[word].split(" ")
@@ -165,7 +174,7 @@ class ClipBpeTokenizer:
         return out
 
     def token_to_id(self, token: str) -> int:
-        return self.encoder[token]
+        return self.token_id_or_eos(token)
 
     def encode(self, text: str, pad_to: int | None = None) -> list[int]:
         ids = [self.bos_id] + [self.token_to_id(t) for t in self.tokenize(text)]

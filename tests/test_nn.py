@@ -184,3 +184,30 @@ def test_flash_attention_kernel_matches_xla():
     ref2 = _xla_attention(q2, q2, q2)
     out2 = flash_attention_interpret(q2, q2, q2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-5)
+
+
+def test_stop_after_taps_matches_full_forward():
+    """Early-exit guidance forwards must produce identical tap maps."""
+    import numpy as np
+
+    from lmdx import config as cfglib
+    from lmdx.nn.attention import TapSpec
+    from lmdx.nn.unet import UNet2DCondition, apply_unet
+
+    cfg = cfglib.tiny_test()
+    unet = UNet2DCondition(cfg.unet, dtype=jnp.float32)
+    h = cfg.latent_height
+    x = jax.random.normal(jax.random.key(0), (1, h, h, 4))
+    t = jnp.asarray([500], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(1), (1, 77, cfg.unet.cross_attention_dim)) * 0.02
+    params = unet.init(jax.random.key(2), x, t, ctx)["params"]
+
+    taps = TapSpec(keys=(("down", 0, 0, 0), ("mid", 0, 0, 0)), fused=False)
+    eps_full, taps_full = apply_unet(unet, params, x, t, ctx, taps=taps)
+    eps_none, taps_fast = apply_unet(unet, params, x, t, ctx, taps=taps,
+                                     stop_after_taps=True)
+    assert eps_none is None
+    assert eps_full is not None
+    for k in taps_full:
+        np.testing.assert_allclose(np.asarray(taps_full[k]),
+                                   np.asarray(taps_fast[k]), atol=1e-6)
