@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_prompts", default=None, type=int)
     parser.add_argument("--run-model", default="lmd_plus",
                         choices=sorted(methods_lib.METHODS))
+    parser.add_argument("--scheduler", default=None,
+                        help="DDIM (default) or DPMSolverMultistep/dpmpp_2m")
     parser.add_argument("--use-sdv2", action="store_true")
     parser.add_argument("--sd-model", default=None,
                         help="explicit SD config key override (e.g. tiny-test)")
@@ -133,6 +135,10 @@ def make_save_dir(args) -> str:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.scheduler:
+        alias = {"DPMSolverMultistep": "dpmpp_2m", "DDIM": "ddim",
+                 "DDIMScheduler": "ddim"}
+        args.scheduler = alias.get(args.scheduler, args.scheduler)
     if args.cpu:
         import jax
 
@@ -239,6 +245,8 @@ def main(argv=None) -> int:
                     ind_offset = repeat_ind * LARGE_CONSTANT3 + args.seed_offset
                     seed = original_ind_base + ind_offset
                     call_kwargs = dict(run_kwargs)
+                    if args.scheduler and args.run_model != "multidiffusion":
+                        call_kwargs["scheduler"] = args.scheduler
                     if args.run_model in ("lmd", "lmd_plus"):
                         call_kwargs["fg_seed_start"] = ind + ind_offset + LARGE_CONSTANT
                         call_kwargs["segmenter"] = segmenter

@@ -153,3 +153,47 @@ def guidance_step_size(schedule: Schedule, t: jnp.ndarray) -> jnp.ndarray:
     (sigma-less) schedule: sqrt(1 - alpha_cumprod[t]), the classifier-guidance
     scaling (reference models/pipelines.py:60-69)."""
     return jnp.sqrt(1.0 - _alpha_at(schedule, t))
+
+
+def _alpha_sigma_lambda(schedule: Schedule, t: jnp.ndarray):
+    a = _alpha_at(schedule, t).astype(jnp.float32)
+    alpha = jnp.sqrt(a)
+    sigma = jnp.sqrt(1.0 - a)
+    lam = jnp.log(alpha) - jnp.log(jnp.maximum(sigma, 1e-10))
+    return alpha, sigma, lam
+
+
+def dpmpp_2m_step(schedule: Schedule, eps: jnp.ndarray, t: jnp.ndarray,
+                  next_t: jnp.ndarray, sample: jnp.ndarray,
+                  prev_x0: jnp.ndarray, prev_t: jnp.ndarray):
+    """One DPM-Solver++(2M) update x_t -> x_{next_t}.
+
+    Multistep state: (prev_x0, prev_t) from the preceding step; prev_t < -500
+    marks "no history" (first step -> first-order update). Matches diffusers
+    DPMSolverMultistepScheduler(algorithm_type="dpmsolver++", solver_order=2)
+    — the scheduler the reference can inject via --scheduler
+    (generate.py:26,121; models/models.py:49-56).
+
+    Returns (new_sample, x0) — callers thread (x0, t) as the next state.
+    """
+    alpha_t, sigma_t, lam_t = _alpha_sigma_lambda(schedule, t)
+    alpha_s, sigma_s, lam_s = _alpha_sigma_lambda(schedule, next_t)
+
+    sample32 = sample.astype(jnp.float32)
+    x0 = (sample32 - sigma_t * eps.astype(jnp.float32)) / alpha_t
+
+    h = lam_s - lam_t
+    first_order = (sigma_s / sigma_t) * sample32 - alpha_s * (
+        jnp.exp(-h) - 1.0) * x0
+
+    # Second-order correction using the previous step's x0 prediction.
+    _, _, lam_p = _alpha_sigma_lambda(schedule, jnp.maximum(prev_t, 0))
+    h_last = lam_t - lam_p
+    r0 = h_last / jnp.where(h == 0, 1e-10, h)
+    coeff = 1.0 / jnp.maximum(2.0 * r0, 1e-10)
+    d = (1.0 + coeff) * x0 - coeff * prev_x0
+    second_order = (sigma_s / sigma_t) * sample32 - alpha_s * (
+        jnp.exp(-h) - 1.0) * d
+
+    out = jnp.where(prev_t < -500, first_order, second_order)
+    return out.astype(sample.dtype), x0.astype(sample.dtype)

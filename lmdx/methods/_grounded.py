@@ -79,6 +79,7 @@ class GroundedParams:
     use_fast_schedule: bool = False
     fast_rate: int = 2
     use_ref_ca: bool = True
+    scheduler: str = "ddim"
 
     so_negative_prompt: str = ""
     overall_negative_prompt: str = ""
@@ -249,6 +250,7 @@ def run_grounded(spec, bundle, p: GroundedParams,
                     save_all_latents=True, save_keys=save_keys,
                     save_cond_only=True, save_single_token=True,
                     tap_token_index=word_token_indices[idx],
+                    solver=p.scheduler,
                 ))
             all_latents = jnp.concatenate([o.all_latents for o in outs], axis=1)
             saved_taps = {
@@ -278,6 +280,7 @@ def run_grounded(spec, bundle, p: GroundedParams,
                 save_all_latents=True, save_keys=save_keys,
                 save_cond_only=True, save_single_token=True,
                 tap_token_index=np.asarray(word_token_indices, np.int32),
+                solver=p.scheduler,
             )
             all_latents, saved_taps, final_latents = (
                 out.all_latents, out.saved_taps, out.latents)
@@ -383,6 +386,7 @@ def run_grounded(spec, bundle, p: GroundedParams,
         frozen_mask=frozen_mask if so_list else None,
         frozen_latents=jnp.asarray(composed.latents) if so_list else None,
         num_frozen_steps=frozen_steps if so_list else 0,
+        solver=p.scheduler,
     )
 
     images = base.decode_latents(bundle, out.latents)

@@ -34,6 +34,7 @@ def run(
     guidance_scale: float = 7.5,
     negative_prompt: str = DEFAULT_OVERALL_NEGATIVE_PROMPT,
     guidance_attn_keys=None,
+    scheduler: str = "ddim",
 ) -> base.GenerationResult:
     cfg = bundle.config
     if guidance_attn_keys is None:
@@ -72,6 +73,7 @@ def run(
         cond_embeddings=cond,
         guidance_scale=guidance_scale,
         spec=spec_g, guidance_data=data, max_iter=overall_max_iter,
+        solver=scheduler,
     )
     images = base.decode_latents(bundle, out.latents)
     return base.GenerationResult(image=images[0])

@@ -32,6 +32,7 @@ def run(
     guidance_scale: float = 7.5,
     negative_prompt: str = DEFAULT_OVERALL_NEGATIVE_PROMPT,
     guidance_attn_keys=None,
+    scheduler: str = "ddim",
 ) -> base.GenerationResult:
     cfg = bundle.config
     if guidance_attn_keys is None:
@@ -67,6 +68,7 @@ def run(
         cond_embeddings=cond,
         guidance_scale=guidance_scale,
         spec=spec_b, guidance_data=data,
+        solver=scheduler,
     )
     images = base.decode_latents(bundle, out.latents)
     return base.GenerationResult(image=images[0])

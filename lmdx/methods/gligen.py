@@ -28,6 +28,7 @@ def run(
     num_inference_steps: int = 50,
     guidance_scale: float = 7.5,
     negative_prompt: str = DEFAULT_OVERALL_NEGATIVE_PROMPT,
+    scheduler: str = "ddim",
 ) -> base.GenerationResult:
     cfg = bundle.config
     converted = convert_spec(spec, *BOX_SCALE)
@@ -50,6 +51,7 @@ def run(
         guidance_scale=guidance_scale,
         gligen=(objs_full, objs_cond),
         num_fuser_steps=int(gligen_scheduled_sampling_beta * schedule.num_steps),
+        solver=scheduler,
     )
     images = base.decode_latents(bundle, out.latents)
     return base.GenerationResult(image=images[0])

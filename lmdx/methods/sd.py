@@ -27,6 +27,7 @@ def run(
     guidance_scale: float = 7.5,
     negative_prompt: str = DEFAULT_OVERALL_NEGATIVE_PROMPT,
     batch_size: int = 1,
+    scheduler: str = "ddim",
 ) -> base.GenerationResult:
     prompt = base.spec_get(spec, "prompt")
     negative_prompt = base.with_extra_negative(spec, negative_prompt)
@@ -42,7 +43,7 @@ def run(
 
     out = sample(
         bundle.unet, bundle.params["unet"], schedule, latents, text_embeddings,
-        guidance_scale=guidance_scale,
+        guidance_scale=guidance_scale, solver=scheduler,
     )
     images = base.decode_latents(bundle, out.latents)
     return base.GenerationResult(image=images[0])

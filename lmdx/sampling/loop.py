@@ -51,6 +51,7 @@ class SegmentStatic:
     save_cond_only: bool = False
     save_single_token: bool = False
     ref_ca: bool = False
+    solver: str = "ddim"          # "ddim" | "dpmpp_2m"
 
 
 class SampleOutput(NamedTuple):
@@ -65,7 +66,8 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
                  carry, xs, consts):
     """One scan over a contiguous run of steps sharing static features.
 
-    carry: (latents (B,H,W,C) f32, loss () f32)
+    carry: (latents (B,H,W,C) f32, loss () f32,
+            prev_x0 (B,H,W,C) f32, prev_t () i32) — multistep solver state
     xs: dict of per-step arrays — t, prev_t, max_iter, frozen_next?, ref?
     consts: dict of per-run arrays — text_embeddings (2B,L,D),
         cond_embeddings (B,L,D), objs (2B,M,D)?, objs_null (B,M,D)?,
@@ -93,7 +95,7 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
     }
 
     def step(carry, x):
-        latents, loss = carry
+        latents, loss, prev_x0, prev_tc = carry
         t, prev_t = x["t"], x["prev_t"]
 
         if static.guidance:
@@ -135,7 +137,12 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
         eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
         eps = eps_uncond + static.guidance_scale * (eps_cond - eps_uncond)
 
-        latents = sched.ddim_step(schedule, eps, t, prev_t, latents)
+        if static.solver == "dpmpp_2m":
+            latents, x0 = sched.dpmpp_2m_step(
+                schedule, eps, t, prev_t, latents, prev_x0, prev_tc)
+            prev_x0, prev_tc = x0, t
+        else:
+            latents = sched.ddim_step(schedule, eps, t, prev_t, latents)
 
         if static.frozen:
             m = consts["frozen_mask"][None, :, :, None]
@@ -146,7 +153,7 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
             ys["latents"] = latents
         if static.save_taps:
             ys["taps"] = taps
-        return (latents, loss), ys
+        return (latents, loss, prev_x0, prev_tc), ys
 
     return jax.lax.scan(step, carry, xs)
 
@@ -191,6 +198,7 @@ def sample(
     save_single_token: bool = False,
     tap_token_index=None,
     added_cond: tuple | None = None,   # (text_embeds (2B,D), time_ids (2B,K))
+    solver: str = "ddim",              # "ddim" | "dpmpp_2m"
     initial_loss: float = 10000.0,
 ) -> SampleOutput:
     """Run a full grounded-diffusion sampling pass.
@@ -229,7 +237,8 @@ def sample(
 
     all_latents = [latents] if save_all_latents else None
     saved_taps: list | None = [] if save_keys else None
-    carry = (latents, loss)
+    # Multistep solver state threads across segment boundaries.
+    carry = (latents, loss, jnp.zeros_like(latents), jnp.int32(-1000))
 
     for start, stop in _segment_boundaries(num_steps, guidance_steps, fuser_steps,
                                            frozen_steps):
@@ -250,6 +259,7 @@ def sample(
             save_cond_only=save_cond_only,
             save_single_token=save_single_token,
             ref_ca=seg_guidance and ref_taps is not None,
+            solver=solver,
         )
 
         xs = {
@@ -272,7 +282,7 @@ def sample(
         if save_keys:
             saved_taps.append(ys["taps"])
 
-    latents, loss = carry
+    latents, loss, _, _ = carry
 
     stacked_latents = None
     if save_all_latents:

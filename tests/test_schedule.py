@@ -87,3 +87,59 @@ def test_guidance_step_size():
     s = sched.make_schedule(50)
     g = sched.guidance_step_size(s, jnp.array(981))
     assert float(g) == pytest.approx(np.sqrt(1 - float(s.alphas_cumprod[981])), rel=1e-6)
+
+
+def test_dpmpp_2m_noise_free_invariant():
+    """With eps=0 and sample = alpha_t * c, DPM-Solver++ must land exactly on
+    alpha_s * c (the noise-free trajectory) in both first- and second-order
+    modes."""
+    import jax.numpy as jnp
+
+    schedule = sched.make_schedule(10)
+    c = jnp.full((1, 4, 4, 4), 1.7, jnp.float32)
+    t = schedule.timesteps[2]
+    next_t = schedule.prev_timesteps[2]
+    prev_t = schedule.timesteps[1]
+
+    def alpha(tt):
+        return jnp.sqrt(schedule.alphas_cumprod[tt])
+
+    sample = alpha(t) * c
+    eps = jnp.zeros_like(sample)
+
+    # First order (no history).
+    out1, x0 = sched.dpmpp_2m_step(schedule, eps, t, next_t, sample,
+                                   jnp.zeros_like(sample), jnp.int32(-1000))
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(c), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(alpha(next_t) * c),
+                               rtol=1e-4)
+
+    # Second order with consistent history (prev x0 == c).
+    out2, _ = sched.dpmpp_2m_step(schedule, eps, t, next_t, sample, c, prev_t)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(alpha(next_t) * c),
+                               rtol=1e-4)
+
+
+def test_dpmpp_2m_end_to_end_sampling():
+    """Sampling with the dpmpp_2m solver runs and differs from ddim."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmdx import config as cfglib
+    from lmdx.nn.unet import UNet2DCondition
+    from lmdx.sampling.loop import sample
+
+    cfg = cfglib.tiny_test()
+    unet = UNet2DCondition(cfg.unet, dtype=jnp.float32)
+    h = cfg.latent_height
+    lat = jax.random.normal(jax.random.key(0), (1, h, h, 4))
+    te = jax.random.normal(jax.random.key(1), (2, 77, cfg.unet.cross_attention_dim)) * 0.02
+    params = unet.init(jax.random.key(2), lat, jnp.zeros((1,), jnp.int32),
+                       te[:1])["params"]
+
+    out_ddim = sample(unet, params, sched.make_schedule(8), lat, te)
+    out_dpm = sample(unet, params, sched.make_schedule(8), lat, te,
+                     solver="dpmpp_2m")
+    a, b = np.asarray(out_ddim.latents), np.asarray(out_dpm.latents)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert not np.allclose(a, b)
