@@ -27,7 +27,13 @@ def main(argv=None) -> int:
     parser.add_argument("--skip_first_prompts", default=0, type=int)
     parser.add_argument("--num_prompts", default=None, type=int)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     path = args.cache or cache_filename(args.prompt_type, args.template_version,
                                         args.model, args.cache_dir)

@@ -34,7 +34,13 @@ def main(argv=None) -> int:
     parser.add_argument("--num_prompts", default=None, type=int)
     parser.add_argument("--repeats", default=1, type=int)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.owlvit_checkpoint:
         detector = FlaxOwlViTDetector.from_checkpoint(args.owlvit_checkpoint)

@@ -34,7 +34,13 @@ def main(argv=None) -> int:
     parser.add_argument("--num_prompts", default=None, type=int)
     parser.add_argument("--cache-dir", default="cache")
     parser.add_argument("--max-retries", default=3, type=int)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     template = TEMPLATES[args.template_version]
     if args.show_template:
