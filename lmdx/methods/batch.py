@@ -1,0 +1,365 @@
+"""Multi-image batched grounded generation (LMD+ serving path).
+
+The reference generates one image at a time; per-chip throughput is then
+bounded by batch-1 latency (the guidance loop at batch 1 measures ~5%% MXU
+utilization). Here G independent prompts ride the pipeline together:
+
+- ALL boxes of ALL images run as one batched per-box pass (sum of box
+  counts), each box with its own image's uncond embedding, noise seeds,
+  GLIGEN slot, and tap token;
+- composition/masking stay per-image on the host (cheap);
+- the G overall passes run as one batched pass: per-image frozen masks and
+  trajectories, per-image GLIGEN grounding, and *batched* CA-energy guidance
+  (per-image loss vector; converged images freeze inside the while_loop —
+  semantics identical to G sequential runs).
+
+Requires per-box guidance disabled (LMD+'s default, max_index_step = 0).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import boxes as boxlib
+from ..core import schedule as sched
+from ..runtime import models as runtime_models
+from ..sampling import compose as compose_lib
+from ..sampling import guidance as guidance_lib
+from ..sampling import latents as latents_lib
+from ..sampling import masking
+from ..sampling.loop import sample
+from ..text import tokens as toklib
+from ..text.parser import BOX_SCALE, convert_spec
+from . import base
+from ._grounded import GroundedParams, _make_guidance_spec
+from .lmd_plus import run as _lmd_plus_defaults  # noqa: F401  (doc pointer)
+
+MAX_OBJS = 8
+MAX_POSITIONS = 8
+
+
+def run_grounded_batch(
+    specs: list,
+    bundle,
+    p: GroundedParams,
+    bg_seeds: list[int] | None = None,
+    fg_seed_starts: list[int] | None = None,
+    segmenter: masking.Segmenter | None = None,
+    return_so_images: bool = False,
+) -> list[base.GenerationResult]:
+    assert p.use_gligen and p.max_index_step == 0, (
+        "batched grounded generation requires the LMD+ regime "
+        "(per-box guidance disabled)")
+    cfg = bundle.config
+    H, W = cfg.latent_height, cfg.latent_width
+    latent_hw = (H, W)
+    num_levels = len(cfg.unet.block_out_channels)
+    if p.guidance_attn_keys is None:
+        p.guidance_attn_keys = guidance_lib.default_guidance_keys(cfg.unet)
+    if p.obj_attn_key is None:
+        p.obj_attn_key = guidance_lib.default_obj_attn_key(cfg.unet)
+    segmenter = segmenter or masking.CoarseSegmenter()
+    refine_cfg = masking.RefineConfig(use_box_input=p.use_box_input,
+                                      mask_th_for_point=p.mask_th_for_point)
+
+    g_count = len(specs)
+    bg_seeds = bg_seeds or [p.bg_seed + i for i in range(g_count)]
+    fg_seed_starts = fg_seed_starts or [p.fg_seed_start] * g_count
+    frozen_steps = int(p.num_inference_steps *
+                       min(max(p.frozen_step_ratio, 0.0), 1.0))
+    schedule = sched.make_schedule(p.num_inference_steps)
+
+    # ---- per-image preprocessing -----------------------------------------
+    images = []
+    for spec, bg_seed, fg_start in zip(specs, bg_seeds, fg_seed_starts):
+        conv = convert_spec(spec, *BOX_SCALE)
+        so_list = conv.so_prompt_phrase_word_box
+        if p.so_center_box:
+            so_list = [
+                (pr, ph, wd, boxlib.get_centered_box(
+                    bx, horizontal_center_only=p.so_horizontal_center_only,
+                    vertical_placement=p.so_vertical_placement,
+                    floor_padding=p.so_floor_padding))
+                for pr, ph, wd, bx in so_list
+            ]
+        images.append({
+            "spec": spec, "conv": conv, "so_list": so_list,
+            "bg_seed": bg_seed, "fg_seed_start": fg_start,
+            "so_negative": base.with_extra_negative(spec, p.so_negative_prompt),
+            "overall_negative": base.with_extra_negative(
+                spec, p.overall_negative_prompt),
+        })
+
+    # ---- ONE batched per-box pass over every box of every image ----------
+    flat = [(gi, item) for gi, im in enumerate(images)
+            for item in im["so_list"]]
+    n_total = len(flat)
+    save_keys = tuple(dict.fromkeys((p.obj_attn_key, *p.guidance_attn_keys))) \
+        if p.use_ref_ca else (p.obj_attn_key,)
+    fuser_steps = int(p.so_gligen_scheduled_sampling_beta * schedule.num_steps)
+
+    latents_bg_per_image = []
+    if n_total:
+        # Noise: per image, per its own seeds/blending.
+        per_box_latents = []
+        for gi, im in enumerate(images):
+            boxes_i = [x[3] for x in im["so_list"]]
+            fg_masks = [boxlib.box_to_mask(b, H, W) for b in boxes_i]
+            lat_list, lat_bg = latents_lib.get_input_latents_list(
+                im["bg_seed"], im["fg_seed_start"], fg_masks, (1, H, W, 4),
+                fg_blending_ratio=p.fg_blending_ratio,
+                init_noise_sigma=schedule.init_noise_sigma)
+            per_box_latents.extend(lat_list)
+            latents_bg_per_image.append(np.asarray(lat_bg))
+
+        so_prompts = [item[0] for _, item in flat]
+        cond, _ = runtime_models.encode_text(bundle, so_prompts)
+        uncond_unique, _ = runtime_models.encode_text(
+            bundle, [im["so_negative"] for im in images])
+        uncond = jnp.stack([uncond_unique[gi] for gi, _ in flat])
+        text_embeddings = jnp.concatenate([uncond, cond], axis=0)
+
+        word_token_indices = np.asarray([
+            toklib.get_phrase_indices(bundle.tokenizer, item[0], [item[1]],
+                                      words=[item[2]]).word_token_indices[0]
+            for _, item in flat
+        ], np.int32)
+
+        gligen_inputs = base.make_gligen_inputs_batched(
+            bundle, [item[3] for _, item in flat],
+            [item[1] for _, item in flat])
+
+        out = sample(
+            bundle.unet, bundle.params["unet"], schedule,
+            jnp.concatenate(per_box_latents, axis=0), text_embeddings,
+            guidance_scale=p.guidance_scale,
+            gligen=gligen_inputs, num_fuser_steps=fuser_steps,
+            save_all_latents=True, save_keys=save_keys,
+            save_cond_only=True, save_single_token=True,
+            tap_token_index=word_token_indices, solver=p.scheduler,
+        )
+        so_images = (base.decode_latents(bundle, out.latents)
+                     if (return_so_images or segmenter is not None) else
+                     [None] * n_total)
+        all_latents_np = np.asarray(out.all_latents)
+        taps_np = {k: np.asarray(v) for k, v in out.saved_taps.items()}
+    else:
+        for im in images:
+            latents_bg_per_image.append(np.asarray(
+                latents_lib.noise_from_seed(im["bg_seed"], (1, H, W, 4))
+                * schedule.init_noise_sigma))
+
+    # ---- per-image composition -------------------------------------------
+    composed_list, data_list, ref_list, results_aux = [], [], [], []
+    overall_prompts, overall_negatives = [], []
+    flat_idx = 0
+    overall_spec = _make_guidance_spec(p, overall=True)
+    for gi, im in enumerate(images):
+        conv = im["conv"]
+        so_list = im["so_list"]
+        n_i = len(so_list)
+        idxs = list(range(flat_idx, flat_idx + n_i))
+        flat_idx += n_i
+
+        mask_list = []
+        traj_list = []
+        ref_taps_per_box = []
+        for j, bi in enumerate(idxs):
+            box = so_list[j][3]
+            mask = masking.refine_mask_from_box(
+                box, so_images[bi], latent_hw, segmenter, refine_cfg)
+            mask_list.append(mask)
+            traj_list.append(all_latents_np[:, bi : bi + 1])
+            if p.use_ref_ca:
+                ref_taps_per_box.append({
+                    k: v[:, bi, :, :, 0] for k, v in taps_np.items()
+                    if k in p.guidance_attn_keys
+                })
+
+        composed = compose_lib.compose_latents_with_alignment(
+            traj_list, mask_list, latents_bg_per_image[gi],
+            num_compose_steps=frozen_steps,
+            align_with_overall_bboxes=p.align_with_overall_bboxes,
+            overall_bboxes=[x[2] for x in conv.overall_phrases_words_bboxes],
+            horizontal_shift_only=p.horizontal_shift_only)
+        composed_list.append(composed)
+        results_aux.append({
+            "frozen_mask": (composed.foreground_indices != 0).astype(np.float32),
+            "foreground_indices": composed.foreground_indices,
+            "so_image_ids": idxs,
+        })
+
+        phrases = [x[0] for x in conv.overall_phrases_words_bboxes]
+        words = [x[1] for x in conv.overall_phrases_words_bboxes]
+        bboxes = [x[2] for x in conv.overall_phrases_words_bboxes]
+        overall_prompt = conv.overall_prompt
+        if phrases:
+            indices = toklib.get_phrase_indices(
+                bundle.tokenizer, overall_prompt, phrases, words=words,
+                add_suffix_if_not_found=True)
+            overall_prompt = indices.prompt
+            ref_box_to_obj = [o for o, bs in enumerate(bboxes) for _ in bs]
+            data_list.append(guidance_lib.make_guidance_data(
+                bboxes, indices.object_positions, overall_spec, latent_hw,
+                num_levels, word_token_indices=indices.word_token_indices,
+                ref_box_to_obj=ref_box_to_obj if p.use_ref_ca else None,
+                max_objs=MAX_OBJS, max_positions=MAX_POSITIONS,
+                max_ref_boxes=MAX_OBJS))
+        else:
+            data_list.append(guidance_lib.make_guidance_data(
+                [], [], overall_spec, latent_hw, num_levels,
+                word_token_indices=[], ref_box_to_obj=[],
+                max_objs=MAX_OBJS, max_positions=MAX_POSITIONS,
+                max_ref_boxes=MAX_OBJS))
+        if p.use_ref_ca:
+            shifted = compose_lib.shift_ref_taps(
+                ref_taps_per_box, composed.offsets,
+                horizontal_shift_only=p.horizontal_shift_only)
+            ref_list.append(_pad_ref(shifted, MAX_OBJS, p, cfg,
+                                     schedule.num_steps, latent_hw,
+                                     num_levels))
+        overall_prompts.append(overall_prompt)
+        overall_negatives.append(im["overall_negative"])
+
+    # ---- ONE batched overall pass -----------------------------------------
+    cond, _ = runtime_models.encode_text(bundle, overall_prompts)
+    uncond, _ = runtime_models.encode_text(bundle, overall_negatives)
+    text_embeddings = jnp.concatenate([uncond, cond], axis=0)
+
+    frozen_latents = jnp.asarray(np.concatenate(
+        [c.latents for c in composed_list], axis=1))      # (S+1, G, H, W, C)
+    frozen_mask = jnp.asarray(np.stack(
+        [aux["frozen_mask"] for aux in results_aux]))      # (G, H, W)
+    data_batched = guidance_lib.stack_guidance_data(data_list)
+    ref_batched = None
+    if p.use_ref_ca and ref_list:
+        ref_batched = {
+            k: jnp.stack([r[k] for r in ref_list], axis=1)  # (T, G, Bx, h, n)
+            for k in ref_list[0]
+        }
+
+    gligen_inputs = _overall_gligen_batched(bundle, images)
+    out = sample(
+        bundle.unet, bundle.params["unet"], schedule,
+        frozen_latents[0], text_embeddings,
+        cond_embeddings=cond,
+        guidance_scale=p.guidance_scale,
+        spec=overall_spec, guidance_data=data_batched,
+        max_iter=p.overall_max_iter, ref_taps=ref_batched,
+        gligen=gligen_inputs,
+        num_fuser_steps=int(p.overall_gligen_scheduled_sampling_beta
+                            * schedule.num_steps),
+        frozen_mask=frozen_mask, frozen_latents=frozen_latents,
+        num_frozen_steps=frozen_steps,
+        guidance_batched=True, solver=p.scheduler,
+    )
+    final_images = base.decode_latents(bundle, out.latents)
+
+    results = []
+    for gi, aux in enumerate(results_aux):
+        so_imgs = ([so_images[i] for i in aux["so_image_ids"]]
+                   if return_so_images else [])
+        results.append(base.GenerationResult(
+            image=final_images[gi], so_img_list=so_imgs,
+            aux={"frozen_mask": np.asarray(aux["frozen_mask"]),
+                 "foreground_indices": aux["foreground_indices"]}))
+    return results
+
+
+def _key_heads(key, cfg):
+    place, idx = key[0], key[1]
+    levels = len(cfg.unet.block_out_channels)
+    level = {"down": idx, "mid": levels - 1, "up": levels - 1 - idx}[place]
+    return cfg.unet.num_attention_heads[level]
+
+
+def _pad_ref(shifted, max_boxes, p, cfg, num_steps, latent_hw, num_levels):
+    """Pad per-image shifted ref taps {key: (T, Bx, heads, n)} to max_boxes
+    along the box axis (zeros; matching zero box_weight rows). Zero-box
+    images emit all-zero stacks with the model's true head counts so every
+    image stacks into one (T, G, Bx, heads, n) array."""
+    from ..sampling.guidance import key_resolution
+
+    out = {}
+    for key in p.guidance_attn_keys:
+        h, w = key_resolution(key, latent_hw, num_levels)
+        heads = _key_heads(key, cfg)
+        if shifted is not None and key in shifted:
+            arr = np.asarray(shifted[key])
+            t_dim = arr.shape[0]
+        else:
+            arr = None
+            t_dim = num_steps
+        padded = np.zeros((t_dim, max_boxes, heads, h * w), np.float32)
+        if arr is not None:
+            padded[:, :arr.shape[1]] = arr
+        out[key] = padded
+    return out
+
+
+def _overall_gligen_batched(bundle, images):
+    """Per-image overall grounding: image i grounds all of its boxes."""
+    max_objs = bundle.config.unet.gligen_max_objs
+    g_count = len(images)
+    width = bundle.config.clip.hidden_size
+
+    all_phrases = []
+    spans = []
+    for im in images:
+        conv = im["conv"]
+        phrases = [ph for ph, _, bs in conv.overall_phrases_words_bboxes
+                   for _ in bs]
+        boxes = boxlib.expand_overall_bboxes(
+            [bs for _, _, bs in conv.overall_phrases_words_bboxes])
+        spans.append((len(all_phrases), phrases, boxes))
+        all_phrases.extend(phrases)
+
+    pooled = (np.asarray(runtime_models.encode_text(bundle, all_phrases)[1])
+              if all_phrases else np.zeros((0, width), np.float32))
+
+    boxes_arr = np.zeros((g_count, max_objs, 4), np.float32)
+    embs = np.zeros((g_count, max_objs, width), np.float32)
+    masks = np.zeros((g_count, max_objs), np.float32)
+    for gi, (start, phrases, boxes) in enumerate(spans):
+        n = min(len(boxes), max_objs)
+        if n:
+            boxes_arr[gi, :n] = np.asarray(boxes, np.float32)[:n]
+            embs[gi, :n] = pooled[start : start + n]
+            masks[gi, :n] = 1.0
+
+    boxes2 = np.concatenate([boxes_arr, boxes_arr], axis=0)
+    embs2 = np.concatenate([embs, embs], axis=0)
+    masks2 = np.concatenate([np.zeros_like(masks), masks], axis=0)
+    objs_full = runtime_models.gligen_objs(bundle, boxes2, masks2, embs2)
+    return objs_full, objs_full[g_count:]
+
+
+def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
+    """Batched LMD+ over a list of specs; returns one GenerationResult per
+    spec. Hyperparameters are shared across the batch (LMD+ defaults)."""
+    from .lmd_plus import run as _run  # defaults source of truth
+
+    defaults = dict(
+        so_negative_prompt=__import__(
+            "lmdx.text.template", fromlist=["x"]).DEFAULT_SO_NEGATIVE_PROMPT,
+        overall_negative_prompt=__import__(
+            "lmdx.text.template", fromlist=["x"]).DEFAULT_OVERALL_NEGATIVE_PROMPT,
+        use_gligen=True,
+        so_gligen_scheduled_sampling_beta=0.4,
+        overall_gligen_scheduled_sampling_beta=0.4,
+        max_index_step=0,
+        so_center_box=False,
+        so_horizontal_center_only=True,
+        fg_blending_ratio=0.1,
+        align_with_overall_bboxes=False,
+        horizontal_shift_only=True,
+    )
+    bg_seeds = overrides.pop("bg_seeds", None)
+    fg_seed_starts = overrides.pop("fg_seed_starts", None)
+    return_so_images = overrides.pop("return_so_images", False)
+    params = GroundedParams(**{**defaults, **overrides})
+    return run_grounded_batch(specs, bundle, params, bg_seeds=bg_seeds,
+                              fg_seed_starts=fg_seed_starts,
+                              segmenter=segmenter,
+                              return_so_images=return_so_images)

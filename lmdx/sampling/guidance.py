@@ -129,6 +129,7 @@ def make_guidance_data(
     ref_box_to_obj=None,
     max_objs: int = 8,
     max_positions: int = 8,
+    max_ref_boxes: int | None = None,
 ) -> GuidanceData:
     """Precompute padded guidance arrays on the host.
 
@@ -186,7 +187,11 @@ def make_guidance_data(
         if word_token_indices is None or ref_box_to_obj is None:
             raise ValueError("ref-CA needs word_token_indices and ref_box_to_obj")
         flat_boxes = [b for obj_boxes in norm_boxes for b in obj_boxes]
-        Bx = len(flat_boxes)
+        # Pad the flattened-box axis so images with different box counts
+        # stack into one batched GuidanceData (padded rows carry weight 0).
+        Bx = max_ref_boxes if max_ref_boxes is not None else len(flat_boxes)
+        if len(flat_boxes) > Bx:
+            raise ValueError(f"{len(flat_boxes)} ref boxes > {Bx}")
         boxes_per_obj = np.bincount(ref_box_to_obj, minlength=num_objects)
         box_word_idx = np.zeros((Bx,), np.int32)
         box_weight = np.zeros((Bx,), np.float32)
@@ -228,12 +233,38 @@ def ca_loss(taps: dict, data: GuidanceData, spec: GuidanceSpec,
         (attention transfer from the per-box passes).
     Returns the *unscaled* loss (multiply by spec.loss_scale for updates).
     """
+    return _ca_loss_nob({k: v[0] for k, v in taps.items()}, data, spec,
+                        ref_taps)
+
+
+def ca_loss_batched(taps: dict, data: GuidanceData, spec: GuidanceSpec,
+                    ref_taps: dict | None = None) -> jnp.ndarray:
+    """Per-image losses for a batched guidance forward.
+
+    taps: {AttnKey: (G, heads, n, L)}; data/ref_taps carry a leading image
+    axis on every leaf (stack_guidance_data). Returns (G,).
+    """
+    if ref_taps is None:
+        return jax.vmap(lambda tp, d: _ca_loss_nob(tp, d, spec, None))(
+            taps, data)
+    return jax.vmap(lambda tp, d, r: _ca_loss_nob(tp, d, spec, r))(
+        taps, data, ref_taps)
+
+
+def stack_guidance_data(datas: list) -> GuidanceData:
+    """Stack per-image GuidanceData pytrees along a new leading image axis.
+    All images must share max_objs/max_positions/ref-box padding."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *datas)
+
+
+def _ca_loss_nob(taps: dict, data: GuidanceData, spec: GuidanceSpec,
+                 ref_taps: dict | None = None) -> jnp.ndarray:
     total = jnp.float32(0.0)
     positions = data["positions"]           # (O, P)
     O, P = positions.shape
 
     for key in spec.keys:
-        attn = taps[key][0].astype(jnp.float32)  # (heads, n, L)
+        attn = taps[key].astype(jnp.float32)  # (heads, n, L)
         heads, n, L = attn.shape
         sel = jnp.take(attn, positions.reshape(-1), axis=-1)
         sel = sel.reshape(heads, n, O, P).transpose(2, 3, 0, 1)  # (O, P, heads, n)
@@ -255,7 +286,7 @@ def ca_loss(taps: dict, data: GuidanceData, spec: GuidanceSpec,
         ref_total = jnp.float32(0.0)
         eps = 1e-5
         for key in spec.keys:
-            attn = taps[key][0].astype(jnp.float32)  # (heads, n, L)
+            attn = taps[key].astype(jnp.float32)  # (heads, n, L)
             tgt = jnp.take(attn, data["box_word_idx"], axis=-1)   # (heads, n, Bx)
             tgt = tgt.transpose(2, 0, 1)                          # (Bx, heads, n)
             ref = ref_taps[key].astype(jnp.float32)               # (Bx, heads, n)
@@ -308,6 +339,49 @@ def guidance_update(
         loss, grad = grad_fn(lat)
         lat = lat - grad * step_size
         return (lat, loss, it + 1)
+
+    latents, loss, _ = jax.lax.while_loop(
+        cond, body, (latents, loss_in, jnp.int32(0))
+    )
+    return latents, loss
+
+
+def guidance_update_batched(
+    unet_apply,
+    latents: jnp.ndarray,        # (G, H, W, C)
+    loss_in: jnp.ndarray,        # (G,)
+    step_size: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    data: GuidanceData,          # leading image axis on every leaf
+    spec: GuidanceSpec,
+    ref_taps: dict | None = None,
+):
+    """Per-step guidance over a batch of independent images.
+
+    The summed loss decomposes per image, so per-image gradients are exact;
+    images whose de-scaled loss has dropped below the threshold freeze
+    (masked update) while the rest keep optimizing — identical semantics to
+    running the single-image loop per image, at batched MXU utilization.
+    """
+
+    def loss_fn(lat):
+        taps = unet_apply(lat)
+        per = ca_loss_batched(taps, data, spec, ref_taps=ref_taps) * spec.loss_scale
+        return per.sum(), per
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def cond(state):
+        _, per, it = state
+        active = per / spec.loss_scale > spec.loss_threshold
+        return jnp.logical_and(active.any(), it < max_iter)
+
+    def body(state):
+        lat, _, it = state
+        (_, per), grad = grad_fn(lat)
+        active = (per / spec.loss_scale > spec.loss_threshold)
+        lat = lat - grad * step_size * active[:, None, None, None]
+        return (lat, per, it + 1)
 
     latents, loss, _ = jax.lax.while_loop(
         cond, body, (latents, loss_in, jnp.int32(0))

@@ -52,6 +52,7 @@ class SegmentStatic:
     save_single_token: bool = False
     ref_ca: bool = False
     solver: str = "ddim"          # "ddim" | "dpmpp_2m"
+    guidance_batched: bool = False  # per-image loss vector over batch G
 
 
 class SampleOutput(NamedTuple):
@@ -119,6 +120,14 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
                     num_steps=schedule.num_steps,
                     data=consts["guidance_data"], spec=static.spec,
                 )
+            elif static.guidance_batched:
+                latents, loss = guidance_lib.guidance_update_batched(
+                    unet_taps, latents, loss,
+                    step_size=sched.guidance_step_size(schedule, t),
+                    max_iter=x["max_iter"],
+                    data=consts["guidance_data"], spec=static.spec,
+                    ref_taps=x.get("ref"),
+                )
             else:
                 latents, loss = guidance_lib.guidance_update(
                     unet_taps, latents, loss,
@@ -145,7 +154,9 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
             latents = sched.ddim_step(schedule, eps, t, prev_t, latents)
 
         if static.frozen:
-            m = consts["frozen_mask"][None, :, :, None]
+            fm = consts["frozen_mask"]
+            m = (fm[None, :, :, None] if fm.ndim == 2  # shared (H, W)
+                 else fm[:, :, :, None])               # per-image (G, H, W)
             latents = x["frozen_next"] * m + latents * (1.0 - m)
 
         ys = {}
@@ -199,6 +210,7 @@ def sample(
     tap_token_index=None,
     added_cond: tuple | None = None,   # (text_embeds (2B,D), time_ids (2B,K))
     solver: str = "ddim",              # "ddim" | "dpmpp_2m"
+    guidance_batched: bool = False,    # guidance_data has a leading image axis
     initial_loss: float = 10000.0,
 ) -> SampleOutput:
     """Run a full grounded-diffusion sampling pass.
@@ -214,7 +226,8 @@ def sample(
     frozen_steps = min(num_frozen_steps, num_steps) if frozen_mask is not None else 0
 
     latents = latents.astype(jnp.float32)
-    loss = jnp.float32(initial_loss)
+    loss = (jnp.full((latents.shape[0],), initial_loss, jnp.float32)
+            if guidance_batched else jnp.float32(initial_loss))
     max_iter_arr = _stack_max_iter(max_iter, num_steps)
 
     consts = {"text_embeddings": text_embeddings}
@@ -260,6 +273,7 @@ def sample(
             save_single_token=save_single_token,
             ref_ca=seg_guidance and ref_taps is not None,
             solver=solver,
+            guidance_batched=guidance_batched,
         )
 
         xs = {

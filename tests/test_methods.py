@@ -165,3 +165,36 @@ def test_sdxl_family_img2img():
         bundle=b, target_size=b.config.height)
     assert refined.shape == (32, 32, 3)
     assert refined.dtype == np.uint8
+
+
+def test_lmd_plus_batched_multi_image(bundle):
+    from lmdx.methods.batch import run_lmd_plus_batch
+
+    spec2 = {"prompt": "A park with a green tree",
+             "gen_boxes": [("a green tree", (200, 100, 150, 250))],
+             "bg_prompt": "A park", "extra_neg_prompt": "people"}
+    overrides = {k: v for k, v in GROUNDED_OVERRIDES.items()
+                 if k != "max_index_step"}  # batched path needs LMD+ regime
+    results = run_lmd_plus_batch(
+        [SPEC, spec2], bundle, bg_seeds=[1, 2],
+        return_so_images=True, **overrides)
+    assert len(results) == 2
+    for r, n_boxes in zip(results, (2, 1)):
+        _check_image(r, bundle)
+        assert len(r.so_img_list) == n_boxes
+        assert r.aux["frozen_mask"].sum() > 0
+    assert (results[0].image != results[1].image).any()
+
+
+def test_lmd_plus_batched_matches_shapes_with_empty_layout(bundle):
+    from lmdx.methods.batch import run_lmd_plus_batch
+
+    empty = {"prompt": "A sunset", "gen_boxes": [], "bg_prompt": "A sunset",
+             "extra_neg_prompt": ""}
+    overrides = {k: v for k, v in GROUNDED_OVERRIDES.items()
+                 if k != "max_index_step"}
+    results = run_lmd_plus_batch([SPEC, empty], bundle, bg_seeds=[3, 4],
+                                 **overrides)
+    assert len(results) == 2
+    _check_image(results[0], bundle)
+    _check_image(results[1], bundle)
