@@ -45,8 +45,17 @@ def _pick_block_q(lq: int) -> int:
     return lq
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _pallas_attention(q, k, v, interpret=False):
+def _pad_kv(k, v, lk):
+    lk_pad = -(-lk // 128) * 128
+    if lk_pad != lk:
+        pad = [(0, 0), (0, 0), (0, lk_pad - lk), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    return k, v, lk_pad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "return_lse"))
+def _pallas_attention(q, k, v, interpret=False, return_lse=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -56,11 +65,7 @@ def _pallas_attention(q, k, v, interpret=False):
     scale = 1.0 / (d**0.5)
 
     # Pad K/V length to the lane tile; mask padded columns inside the kernel.
-    lk_pad = -(-lk // 128) * 128
-    if lk_pad != lk:
-        pad = [(0, 0), (0, 0), (0, lk_pad - lk), (0, 0)]
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+    k, v, lk_pad = _pad_kv(k, v, lk)
 
     block_q = _pick_block_q(lq)
     grid = (bh, lq // block_q)
@@ -69,7 +74,7 @@ def _pallas_attention(q, k, v, interpret=False):
     kr = k.reshape(bh, lk_pad, d)
     vr = v.reshape(bh, lk_pad, d)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref):
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
         qb = q_ref[0].astype(jnp.float32)
         kb = k_ref[0].astype(jnp.float32)
         vb = v_ref[0].astype(jnp.float32)
@@ -84,8 +89,9 @@ def _pallas_attention(q, k, v, interpret=False):
         denom = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p, vb, preferred_element_type=jnp.float32) / denom
         o_ref[0] = o.astype(o_ref.dtype)
+        lse_ref[0] = (m + jnp.log(denom))[:, 0]
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -96,9 +102,16 @@ def _pallas_attention(q, k, v, interpret=False):
             pl.BlockSpec((1, lk_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, lq), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * bh * lq * lk_pad * d,
             bytes_accessed=(qr.size + kr.size + vr.size + bh * lq * d) * q.dtype.itemsize,
@@ -106,7 +119,125 @@ def _pallas_attention(q, k, v, interpret=False):
         ),
         interpret=interpret,
     )(qr, kr, vr)
-    return out.reshape(b, h, lq, d)
+    out = out.reshape(b, h, lq, d)
+    if return_lse:
+        return out, lse.reshape(b, h, lq)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
+    """Flash-attention backward: blockwise recompute of the probabilities —
+    the (Lq, Lk) matrix never reaches HBM in fwd OR bwd. This is what lets
+    batched guidance (jax.grad through the UNet) fit in HBM; the XLA
+    formulation's VJP materializes fp32 probability matrices (4+ GB each at
+    the 4096-token level with image batching).
+
+    dk/dv accumulate across q-block grid steps (TPU grids run sequentially,
+    so revisiting the same output block is well-defined).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bh = b * h
+    scale = 1.0 / (d**0.5)
+    k, v, lk_pad = _pad_kv(k, v, lk)
+
+    block_q = _pick_block_q(lq)
+    grid = (bh, lq // block_q)
+
+    qr = q.reshape(bh, lq, d)
+    kr = k.reshape(bh, lk_pad, d)
+    vr = v.reshape(bh, lk_pad, d)
+    lser = lse.reshape(bh, lq)
+    orr = o.reshape(bh, lq, d)
+    gr = g.reshape(bh, lq, d)
+
+    def kernel(q_ref, k_ref, v_ref, lse_ref, o_ref, g_ref,
+               dq_ref, dk_ref, dv_ref):
+        j = pl.program_id(1)
+        qb = q_ref[0].astype(jnp.float32)
+        kb = k_ref[0].astype(jnp.float32)
+        vb = v_ref[0].astype(jnp.float32)
+        ob = o_ref[0].astype(jnp.float32)
+        gb = g_ref[0].astype(jnp.float32)
+        lseb = lse_ref[0]
+
+        s = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if lk_pad != lk:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(col < lk, s, _NEG_INF)
+        p = jnp.exp(s - lseb[:, None])                       # rows sum to 1
+
+        delta = jnp.sum(gb * ob, axis=-1, keepdims=True)     # (bq, 1)
+        dp = jax.lax.dot_general(
+            gb, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale                        # (bq, lk)
+
+        dq_ref[0] = jnp.dot(ds, kb,
+                            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
+        dk_block = jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dv_block = jax.lax.dot_general(
+            p, gb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            dk_ref[0] = dk_block.astype(dk_ref.dtype)
+            dv_ref[0] = dv_block.astype(dv_ref.dtype)
+
+        @pl.when(j > 0)
+        def _():
+            dk_ref[0] = dk_ref[0] + dk_block.astype(dk_ref.dtype)
+            dv_ref[0] = dv_ref[0] + dv_block.astype(dv_ref.dtype)
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lk_pad, d), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * bh * lq * lk_pad * d,
+            bytes_accessed=3 * (qr.size + kr.size + vr.size) * 4,
+            transcendentals=bh * lq * lk_pad,
+        ),
+        interpret=interpret,
+    )(qr, kr, vr, lser, orr, gr)
+
+    dq = dq.reshape(b, h, lq, d).astype(q.dtype)
+    dk = dk[:, :lk].reshape(b, h, lk, d).astype(q.dtype)
+    dv = dv[:, :lk].reshape(b, h, lk, d).astype(q.dtype)
+    return dq, dk, dv
 
 
 def _kernel_supported(q, k) -> bool:
@@ -131,15 +262,13 @@ def _flash_attention_ad(q, k, v):
 
 
 def _flash_fwd(q, k, v):
-    return _pallas_attention(q, k, v), (q, k, v)
+    o, lse = _pallas_attention(q, k, v, return_lse=True)
+    return o, (q, k, v, lse, o)
 
 
 def _flash_bwd(residuals, g):
-    # Backward through the XLA formulation (numerically identical); gradients
-    # through attention only occur in guidance passes, which are XLA anyway.
-    q, k, v = residuals
-    _, vjp = jax.vjp(_xla_attention, q, k, v)
-    return vjp(g)
+    q, k, v, lse, o = residuals
+    return _pallas_attention_bwd(q, k, v, lse, o, g)
 
 
 _flash_attention_ad.defvjp(_flash_fwd, _flash_bwd)
