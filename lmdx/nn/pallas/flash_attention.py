@@ -89,7 +89,10 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
         denom = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p, vb, preferred_element_type=jnp.float32) / denom
         o_ref[0] = o.astype(o_ref.dtype)
-        lse_ref[0] = (m + jnp.log(denom))[:, 0]
+        # LSE row broadcast over an 8-sublane pad (TPU tiling: the last two
+        # block dims must be (8k, 128k)); consumers read sublane 0.
+        lse_row = (m + jnp.log(denom))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
 
     out, lse = pl.pallas_call(
         kernel,
@@ -105,12 +108,12 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, lq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, lq), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * bh * lq * lk_pad * d,
@@ -121,7 +124,7 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
     )(qr, kr, vr)
     out = out.reshape(b, h, lq, d)
     if return_lse:
-        return out, lse.reshape(b, h, lq)
+        return out, lse[:, 0].reshape(b, h, lq)
     return out
 
 
@@ -151,7 +154,8 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
     qr = q.reshape(bh, lq, d)
     kr = k.reshape(bh, lk_pad, d)
     vr = v.reshape(bh, lk_pad, d)
-    lser = lse.reshape(bh, lq)
+    # Re-pad the LSE sublane dim for the TPU tiling constraint.
+    lser = jnp.broadcast_to(lse.reshape(bh, 1, lq), (bh, 8, lq))
     orr = o.reshape(bh, lq, d)
     gr = g.reshape(bh, lq, d)
 
@@ -163,7 +167,7 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
         vb = v_ref[0].astype(jnp.float32)
         ob = o_ref[0].astype(jnp.float32)
         gb = g_ref[0].astype(jnp.float32)
-        lseb = lse_ref[0]
+        lseb = lse_ref[0, 0]
 
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -206,7 +210,7 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
