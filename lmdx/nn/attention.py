@@ -210,8 +210,15 @@ class GatedSelfAttention(nn.Module):
         )
         ff = FeedForward(self.query_dim, dtype=self.dtype, name="ff")
 
-        h = jnp.concatenate([x, objs], axis=1)
-        h = attn(nn.LayerNorm(dtype=self.dtype, name="norm1")(h))[:, :n_visual]
+        # The reference self-attends over [visual ‖ objs] then keeps only the
+        # visual rows (attention.py:44-46). Querying only the visual tokens
+        # against the concatenated keys/values is numerically identical for
+        # those rows — and keeps the query length at the latent token count
+        # (a block-divisible size the fused kernel accepts; a 4096+30-token
+        # self-attention would fall back to a materialized XLA softmax).
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            jnp.concatenate([x, objs], axis=1))
+        h = attn(h[:, :n_visual], context=h)
         x = x + gate * jnp.tanh(alpha_attn) * h
         x = x + gate * jnp.tanh(alpha_dense) * ff(
             nn.LayerNorm(dtype=self.dtype, name="norm2")(x)

@@ -45,6 +45,17 @@ def _pick_block_q(lq: int) -> int:
     return lq
 
 
+def _pad_q_rows(arrs, lq: int):
+    """Pad the query axis (dim 2) to a 128-multiple; callers slice outputs
+    back. Returns (padded arrays, lq_pad)."""
+    lq_pad = -(-lq // 128) * 128
+    if lq_pad == lq:
+        return arrs, lq
+    out = [jnp.pad(a, [(0, 0), (0, 0), (0, lq_pad - lq)] +
+                   [(0, 0)] * (a.ndim - 3)) for a in arrs]
+    return out, lq_pad
+
+
 def _pad_kv(k, v, lk):
     lk_pad = -(-lk // 128) * 128
     if lk_pad != lk:
@@ -66,11 +77,12 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
 
     # Pad K/V length to the lane tile; mask padded columns inside the kernel.
     k, v, lk_pad = _pad_kv(k, v, lk)
+    (q,), lq_pad = _pad_q_rows([q], lq)
 
-    block_q = _pick_block_q(lq)
-    grid = (bh, lq // block_q)
+    block_q = _pick_block_q(lq_pad)
+    grid = (bh, lq_pad // block_q)
 
-    qr = q.reshape(bh, lq, d)
+    qr = q.reshape(bh, lq_pad, d)
     kr = k.reshape(bh, lk_pad, d)
     vr = v.reshape(bh, lk_pad, d)
 
@@ -112,8 +124,8 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 8, lq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, lq_pad), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * bh * lq * lk_pad * d,
@@ -122,9 +134,9 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
         ),
         interpret=interpret,
     )(qr, kr, vr)
-    out = out.reshape(b, h, lq, d)
+    out = out[:, :lq].reshape(b, h, lq, d)
     if return_lse:
-        return out, lse[:, 0].reshape(b, h, lq)
+        return out, lse[:, 0, :lq].reshape(b, h, lq)
     return out
 
 
@@ -147,17 +159,23 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
     bh = b * h
     scale = 1.0 / (d**0.5)
     k, v, lk_pad = _pad_kv(k, v, lk)
+    # Pad the query axis; padded g rows are zero, so their ds vanishes and
+    # dk/dv stay exact. Padded LSE is large so exp(s - lse) underflows to 0.
+    (q, o, g), lq_pad = _pad_q_rows([q, o, g], lq)
+    if lq_pad != lq:
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, lq_pad - lq)],
+                      constant_values=1e9)
 
-    block_q = _pick_block_q(lq)
-    grid = (bh, lq // block_q)
+    block_q = _pick_block_q(lq_pad)
+    grid = (bh, lq_pad // block_q)
 
-    qr = q.reshape(bh, lq, d)
+    qr = q.reshape(bh, lq_pad, d)
     kr = k.reshape(bh, lk_pad, d)
     vr = v.reshape(bh, lk_pad, d)
     # Re-pad the LSE sublane dim for the TPU tiling constraint.
-    lser = jnp.broadcast_to(lse.reshape(bh, 1, lq), (bh, 8, lq))
-    orr = o.reshape(bh, lq, d)
-    gr = g.reshape(bh, lq, d)
+    lser = jnp.broadcast_to(lse.reshape(bh, 1, lq_pad), (bh, 8, lq_pad))
+    orr = o.reshape(bh, lq_pad, d)
+    gr = g.reshape(bh, lq_pad, d)
 
     def kernel(q_ref, k_ref, v_ref, lse_ref, o_ref, g_ref,
                dq_ref, dk_ref, dv_ref):
@@ -226,7 +244,7 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, lq, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lq_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, lk_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, lk_pad, d), jnp.float32),
         ),
@@ -238,7 +256,7 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
         interpret=interpret,
     )(qr, kr, vr, lser, orr, gr)
 
-    dq = dq.reshape(b, h, lq, d).astype(q.dtype)
+    dq = dq[:, :lq].reshape(b, h, lq, d).astype(q.dtype)
     dk = dk[:, :lk].reshape(b, h, lk, d).astype(q.dtype)
     dv = dv[:, :lk].reshape(b, h, lk, d).astype(q.dtype)
     return dq, dk, dv
@@ -256,7 +274,8 @@ def _kernel_supported(q, k) -> bool:
         return False
     # Full K/V + one score block must fit VMEM with headroom.
     lk_pad = -(-lk // 128) * 128
-    vmem = 2 * lk_pad * d * 4 + _pick_block_q(lq) * (lk_pad + 2 * d) * 4
+    lq_pad = -(-lq // 128) * 128
+    vmem = 2 * lk_pad * d * 4 + _pick_block_q(lq_pad) * (lk_pad + 2 * d) * 4
     return vmem < 12 * 1024 * 1024
 
 
