@@ -38,11 +38,24 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     return out.astype(q.dtype)
 
 
-def _pick_block_q(lq: int) -> int:
+def _pick_block_q(lq: int, lk_pad: int = 0, d: int = 0,
+                  n_score_bufs: int = 2) -> int:
+    """Largest divisible q-block whose working set fits scoped VMEM.
+
+    n_score_bufs: concurrently-live (block_q, lk_pad) f32 matrices — 2 for
+    the forward (s, p), 4 for the backward (s/p, dp, ds + headroom)."""
+    budget = 12 * 1024 * 1024
     for bq in (512, 256, 128):
-        if lq % bq == 0:
+        if lq % bq != 0:
+            continue
+        if not lk_pad:
             return bq
-    return lq
+        vmem = (n_score_bufs * bq * lk_pad * 4      # score-sized f32 bufs
+                + 2 * lk_pad * d * 4                # k, v upcast
+                + 6 * bq * d * 4)                   # q/o/g blocks + outputs
+        if vmem < budget:
+            return bq
+    return lq if lk_pad == 0 else 128
 
 
 def _pad_q_rows(arrs, lq: int):
@@ -79,7 +92,7 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
     k, v, lk_pad = _pad_kv(k, v, lk)
     (q,), lq_pad = _pad_q_rows([q], lq)
 
-    block_q = _pick_block_q(lq_pad)
+    block_q = _pick_block_q(lq_pad, lk_pad, d, n_score_bufs=2)
     grid = (bh, lq_pad // block_q)
 
     qr = q.reshape(bh, lq_pad, d)
@@ -166,7 +179,7 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
         lse = jnp.pad(lse, [(0, 0), (0, 0), (0, lq_pad - lq)],
                       constant_values=1e9)
 
-    block_q = _pick_block_q(lq_pad)
+    block_q = _pick_block_q(lq_pad, lk_pad, d, n_score_bufs=4)
     grid = (bh, lq_pad // block_q)
 
     qr = q.reshape(bh, lq_pad, d)
@@ -272,10 +285,10 @@ def _kernel_supported(q, k) -> bool:
         # K/V to the 128-lane tile wastes more than fusion saves — measured
         # slower than the XLA path on v5e.
         return False
-    # Full K/V + one score block must fit VMEM with headroom.
+    # Full K/V + the smallest score block must fit VMEM with headroom
+    # (backward is the tightest: 4 score-sized f32 buffers).
     lk_pad = -(-lk // 128) * 128
-    lq_pad = -(-lq // 128) * 128
-    vmem = 2 * lk_pad * d * 4 + _pick_block_q(lq_pad) * (lk_pad + 2 * d) * 4
+    vmem = 4 * 128 * lk_pad * 4 + 2 * lk_pad * d * 4 + 6 * 128 * d * 4
     return vmem < 12 * 1024 * 1024
 
 
