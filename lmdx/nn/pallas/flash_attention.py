@@ -179,7 +179,9 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
         lse = jnp.pad(lse, [(0, 0), (0, 0), (0, lq_pad - lq)],
                       constant_values=1e9)
 
-    block_q = _pick_block_q(lq_pad, lk_pad, d, n_score_bufs=4)
+    # The kernel chunks KV at <=1024, so the score temporaries scale with the
+    # chunk, not the full KV length.
+    block_q = _pick_block_q(lq_pad, min(lk_pad, 1024), d, n_score_bufs=4)
     grid = (bh, lq_pad // block_q)
 
     qr = q.reshape(bh, lq_pad, d)
@@ -190,46 +192,64 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
     orr = o.reshape(bh, lq_pad, d)
     gr = g.reshape(bh, lq_pad, d)
 
+    # Chunk the KV axis inside the kernel: the concurrently-live score-sized
+    # temporaries (s/p, dp, ds) shrink from (bq, lk_pad) to (bq, chunk),
+    # keeping the whole working set inside scoped VMEM at any KV length.
+    kv_chunk = min(lk_pad, 1024)
+    n_chunks = lk_pad // kv_chunk if lk_pad % kv_chunk == 0 else None
+    if n_chunks is None:
+        kv_chunk = 128
+        n_chunks = lk_pad // kv_chunk
+
     def kernel(q_ref, k_ref, v_ref, lse_ref, o_ref, g_ref,
                dq_ref, dk_ref, dv_ref):
         j = pl.program_id(1)
         qb = q_ref[0].astype(jnp.float32)
-        kb = k_ref[0].astype(jnp.float32)
-        vb = v_ref[0].astype(jnp.float32)
         ob = o_ref[0].astype(jnp.float32)
         gb = g_ref[0].astype(jnp.float32)
         lseb = lse_ref[0, 0]
-
-        s = jax.lax.dot_general(
-            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if lk_pad != lk:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-            s = jnp.where(col < lk, s, _NEG_INF)
-        p = jnp.exp(s - lseb[:, None])                       # rows sum to 1
-
         delta = jnp.sum(gb * ob, axis=-1, keepdims=True)     # (bq, 1)
-        dp = jax.lax.dot_general(
-            gb, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale                        # (bq, lk)
 
-        dq_ref[0] = jnp.dot(ds, kb,
-                            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dq_acc = jnp.zeros((qb.shape[0], d), jnp.float32)
+        for c in range(n_chunks):
+            sl = pl.ds(c * kv_chunk, kv_chunk)
+            kc = k_ref[0, sl].astype(jnp.float32)            # (chunk, d)
+            vc = v_ref[0, sl].astype(jnp.float32)
 
-        dk_block = jax.lax.dot_general(
-            ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dv_block = jax.lax.dot_general(
-            p, gb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            s = jax.lax.dot_general(
+                qb, kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if lk_pad != lk:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+                s = jnp.where(col + c * kv_chunk < lk, s, _NEG_INF)
+            p = jnp.exp(s - lseb[:, None])                   # rows sum to 1
 
-        @pl.when(j == 0)
-        def _():
-            dk_ref[0] = dk_block.astype(dk_ref.dtype)
-            dv_ref[0] = dv_block.astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(
+                gb, vc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta) * scale                    # (bq, chunk)
 
-        @pl.when(j > 0)
-        def _():
-            dk_ref[0] = dk_ref[0] + dk_block.astype(dk_ref.dtype)
-            dv_ref[0] = dv_ref[0] + dv_block.astype(dv_ref.dtype)
+            dq_acc = dq_acc + jnp.dot(ds, kc,
+                                      preferred_element_type=jnp.float32)
+
+            dk_block = jax.lax.dot_general(
+                ds, qb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv_block = jax.lax.dot_general(
+                p, gb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(j == 0)
+            def _():
+                dk_ref[0, sl] = dk_block.astype(dk_ref.dtype)
+                dv_ref[0, sl] = dv_block.astype(dv_ref.dtype)
+
+            @pl.when(j > 0)
+            def _():
+                dk_ref[0, sl] = dk_ref[0, sl] + dk_block.astype(dk_ref.dtype)
+                dv_ref[0, sl] = dv_ref[0, sl] + dv_block.astype(dv_ref.dtype)
+
+        dq_ref[0] = dq_acc.astype(dq_ref.dtype)
 
     dq, dk, dv = pl.pallas_call(
         kernel,
