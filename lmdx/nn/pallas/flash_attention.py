@@ -43,8 +43,11 @@ def _pick_block_q(lq: int, lk_pad: int = 0, d: int = 0,
     """Largest divisible q-block whose working set fits scoped VMEM.
 
     n_score_bufs: concurrently-live (block_q, lk_pad) f32 matrices — 2 for
-    the forward (s, p), 4 for the backward (s/p, dp, ds + headroom)."""
-    budget = 12 * 1024 * 1024
+    the forward (s, p), 4 for the backward (s/p, dp, ds + headroom). The
+    budget is deliberately far below the 16M scoped-VMEM limit: measured
+    kernels carry ~6-8M of fixed overhead (double-buffered in/out blocks,
+    layout copies) on top of the score temporaries."""
+    budget = (3 if n_score_bufs >= 4 else 8) * 1024 * 1024
     for bq in (512, 256, 128):
         if lq % bq != 0:
             continue
@@ -179,9 +182,9 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
         lse = jnp.pad(lse, [(0, 0), (0, 0), (0, lq_pad - lq)],
                       constant_values=1e9)
 
-    # The kernel chunks KV at <=1024, so the score temporaries scale with the
+    # The kernel chunks KV at <=512, so the score temporaries scale with the
     # chunk, not the full KV length.
-    block_q = _pick_block_q(lq_pad, min(lk_pad, 1024), d, n_score_bufs=4)
+    block_q = _pick_block_q(lq_pad, min(lk_pad, 512), d, n_score_bufs=4)
     grid = (bh, lq_pad // block_q)
 
     qr = q.reshape(bh, lq_pad, d)
@@ -195,7 +198,7 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
     # Chunk the KV axis inside the kernel: the concurrently-live score-sized
     # temporaries (s/p, dp, ds) shrink from (bq, lk_pad) to (bq, chunk),
     # keeping the whole working set inside scoped VMEM at any KV length.
-    kv_chunk = min(lk_pad, 1024)
+    kv_chunk = min(lk_pad, 512)
     n_chunks = lk_pad // kv_chunk if lk_pad % kv_chunk == 0 else None
     if n_chunks is None:
         kv_chunk = 128
