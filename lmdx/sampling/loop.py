@@ -121,11 +121,8 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
                     data=consts["guidance_data"], spec=static.spec,
                 )
             elif static.guidance_batched:
-                # Rematerialize the guidance forward: at image-batch G the
-                # VJP's saved activations exceed HBM; recomputing them trades
-                # ~1 extra forward for O(layer) instead of O(model) residency.
                 latents, loss = guidance_lib.guidance_update_batched(
-                    jax.checkpoint(unet_taps), latents, loss,
+                    unet_taps, latents, loss,
                     step_size=sched.guidance_step_size(schedule, t),
                     max_iter=x["max_iter"],
                     data=consts["guidance_data"], spec=static.spec,
