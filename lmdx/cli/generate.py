@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=sorted(methods_lib.METHODS))
     parser.add_argument("--scheduler", default=None,
                         help="DDIM (default) or DPMSolverMultistep/dpmpp_2m")
+    parser.add_argument("--image-batch-size", default=1, type=int,
+                        help="lmd_plus only: generate N prompts per batched "
+                             "pipeline invocation (throughput mode)")
     parser.add_argument("--use-sdv2", action="store_true")
     parser.add_argument("--sd-model", default=None,
                         help="explicit SD config key override (e.g. tiny-test)")
@@ -175,6 +178,13 @@ def main(argv=None) -> int:
 
         sdxl_refiner = sdxl_refine
 
+    if args.image_batch_size > 1:
+        assert args.run_model == "lmd_plus", \
+            "--image-batch-size needs --run-model lmd_plus"
+        assert args.regenerate == 1
+        return run_batched(args, run_kwargs, cache, prompts, save_dir,
+                           bundle, segmenter, sdxl_refiner)
+
     scale_boxes_default = not args.no_scale_boxes_default
     ind = 0
     if args.regenerate > 1:
@@ -283,6 +293,89 @@ def main(argv=None) -> int:
                 f"{len(prompts)} prompts: there may be cache misses or "
                 f"prompt/cache inconsistencies.**"
             )
+    return 0
+
+
+def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
+                segmenter, sdxl_refiner) -> int:
+    """Throughput mode: group pending (prompt, repeat) jobs into batches of
+    --image-batch-size and run them through the multi-image LMD+ pipeline
+    (lmdx.methods.batch). Resume/seed semantics match the sequential loop."""
+    from ..methods.batch import run_lmd_plus_batch
+
+    scale_boxes_default = not args.no_scale_boxes_default
+    jobs = []
+    for ind, prompt in enumerate(prompts):
+        if ind < args.skip_first_prompts:
+            continue
+        if args.num_prompts is not None and ind >= (
+                args.skip_first_prompts + args.num_prompts):
+            continue
+        kwargs = {}
+        if isinstance(prompt, list):
+            prompt, kwargs = prompt
+        prompt = prompt.strip().rstrip(".")
+        resp = cache.get(prompt)
+        if resp is None:
+            print(f"Cache miss, skipping prompt: {prompt}")
+            continue
+        img_dir = f"{save_dir}/{ind}"
+        existing = ([f for f in os.listdir(img_dir) if f.startswith("img")]
+                    if os.path.exists(img_dir) else [])
+        if len(existing) >= args.repeats:
+            continue
+        try:
+            layout = parse_layout_response(resp)
+        except ParseError as e:
+            print(f"***Parse error on {prompt!r}: {e}***")
+            continue
+        gen_boxes = filter_boxes(
+            layout.gen_boxes,
+            scale_boxes=kwargs.get("scale_boxes", scale_boxes_default))
+        spec = {
+            "prompt": prompt, "gen_boxes": gen_boxes,
+            "bg_prompt": "" if args.ignore_bg_prompt else layout.bg_prompt,
+            "extra_neg_prompt": ("" if args.ignore_negative_prompt
+                                 else layout.neg_prompt),
+        }
+        base_seed = kwargs.get("seed", ind)
+        for repeat_ind in range(args.repeats):
+            offset = repeat_ind * LARGE_CONSTANT3 + args.seed_offset
+            jobs.append({
+                "ind": ind, "repeat": repeat_ind, "spec": spec,
+                "img_dir": img_dir,
+                "bg_seed": base_seed + offset,
+                "fg_seed_start": ind + offset + LARGE_CONSTANT,
+            })
+
+    print(f"[batched] {len(jobs)} jobs, batch size {args.image_batch_size}")
+    for start in range(0, len(jobs), args.image_batch_size):
+        group = jobs[start : start + args.image_batch_size]
+        try:
+            results = run_lmd_plus_batch(
+                [j["spec"] for j in group], bundle,
+                bg_seeds=[j["bg_seed"] for j in group],
+                fg_seed_starts=[j["fg_seed_start"] for j in group],
+                segmenter=segmenter, **run_kwargs)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            print(f"***Batch error: {e}***")
+            traceback.print_exc()
+            if args.no_continue_on_error:
+                raise
+            continue
+        for job, result in zip(group, results):
+            os.makedirs(job["img_dir"], exist_ok=True)
+            image = result.image
+            if sdxl_refiner is not None:
+                image = sdxl_refiner.refine(
+                    image, job["spec"],
+                    refine_seed=job["bg_seed"] + LARGE_CONSTANT4,
+                    refinement_step_ratio=args.sdxl_step_ratio)
+            Image.fromarray(image).save(
+                f"{job['img_dir']}/img_{job['repeat']}.png")
+        print(f"[batched] {min(start + len(group), len(jobs))}/{len(jobs)} done")
     return 0
 
 

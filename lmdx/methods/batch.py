@@ -31,9 +31,12 @@ from ..sampling import masking
 from ..sampling.loop import sample
 from ..text import tokens as toklib
 from ..text.parser import BOX_SCALE, convert_spec
+from ..text.template import (
+    DEFAULT_OVERALL_NEGATIVE_PROMPT,
+    DEFAULT_SO_NEGATIVE_PROMPT,
+)
 from . import base
 from ._grounded import GroundedParams, _make_guidance_spec
-from .lmd_plus import run as _lmd_plus_defaults  # noqa: F401  (doc pointer)
 
 MAX_OBJS = 8
 MAX_POSITIONS = 8
@@ -337,14 +340,11 @@ def _overall_gligen_batched(bundle, images):
 
 def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
     """Batched LMD+ over a list of specs; returns one GenerationResult per
-    spec. Hyperparameters are shared across the batch (LMD+ defaults)."""
-    from .lmd_plus import run as _run  # defaults source of truth
-
+    spec. Hyperparameters are shared across the batch (LMD+ defaults,
+    methods/lmd_plus.py)."""
     defaults = dict(
-        so_negative_prompt=__import__(
-            "lmdx.text.template", fromlist=["x"]).DEFAULT_SO_NEGATIVE_PROMPT,
-        overall_negative_prompt=__import__(
-            "lmdx.text.template", fromlist=["x"]).DEFAULT_OVERALL_NEGATIVE_PROMPT,
+        so_negative_prompt=DEFAULT_SO_NEGATIVE_PROMPT,
+        overall_negative_prompt=DEFAULT_OVERALL_NEGATIVE_PROMPT,
         use_gligen=True,
         so_gligen_scheduled_sampling_beta=0.4,
         overall_gligen_scheduled_sampling_beta=0.4,
