@@ -142,3 +142,30 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt.latest_step_dir(str(tmp_path)).endswith("step_1")
+
+
+def test_dp_sharded_sampling_matches_single_device(tiny_setup):
+    """Inference scale-out: the jitted sampler with dp-sharded inputs must
+    reproduce single-device results (GSPMD propagates the batch sharding)."""
+    from jax.sharding import NamedSharding
+
+    from lmdx.sampling.loop import sample
+
+    cfg, unet, params, _ = tiny_setup
+    schedule = sched.make_schedule(6)
+    h = cfg.latent_height
+    d = cfg.unet.cross_attention_dim
+    latents = jax.random.normal(jax.random.key(5), (4, h, h, 4))
+    te = jax.random.normal(jax.random.key(6), (8, 77, d)) * 0.02
+
+    ref = np.asarray(sample(unet, params, schedule, latents, te).latents)
+
+    mesh = meshlib.make_mesh(dp=4, tp=2)
+    params_s = meshlib.shard_params(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params), mesh)
+    latents_s = jax.device_put(
+        latents, NamedSharding(mesh, P("dp", None, None, None)))
+    te_s = jax.device_put(te, NamedSharding(mesh, P("dp", None, None)))
+    out = np.asarray(sample(unet, params_s, schedule, latents_s, te_s).latents)
+
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

@@ -198,3 +198,25 @@ def test_lmd_plus_batched_matches_shapes_with_empty_layout(bundle):
     assert len(results) == 2
     _check_image(results[0], bundle)
     _check_image(results[1], bundle)
+
+
+def test_batched_matches_sequential_lmd_plus(bundle):
+    """The multi-image pipeline must reproduce the single-image pipeline
+    bit-for-bit-ish (same seeds, same hyperparameters)."""
+    from lmdx.methods.batch import run_lmd_plus_batch
+
+    overrides = {k: v for k, v in GROUNDED_OVERRIDES.items()
+                 if k != "max_index_step"}
+    spec2 = {"prompt": "A park with a green tree",
+             "gen_boxes": [("a green tree", (200, 100, 150, 250))],
+             "bg_prompt": "A park", "extra_neg_prompt": ""}
+
+    seq = [methods.lmd_plus.run(SPEC, bundle, bg_seed=11, **overrides),
+           methods.lmd_plus.run(spec2, bundle, bg_seed=12, **overrides)]
+    batched = run_lmd_plus_batch([SPEC, spec2], bundle, bg_seeds=[11, 12],
+                                 **overrides)
+    for s, b in zip(seq, batched):
+        # Identical math modulo float reassociation across the batch axis.
+        diff = np.abs(s.image.astype(np.int32) - b.image.astype(np.int32))
+        assert np.mean(diff) < 2.0, float(np.mean(diff))
+        assert np.array_equal(s.aux["frozen_mask"], b.aux["frozen_mask"])
