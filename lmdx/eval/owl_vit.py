@@ -14,8 +14,6 @@ OwlViT can be swapped in for cross-checking.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
-
 import numpy as np
 
 from ..text import tokens as toklib

@@ -20,7 +20,6 @@ import numpy as np
 from ..nn import vae as vaelib
 from ..runtime.models import ModelBundle
 from ..sampling import gligen as gligen_lib
-from ..text import tokens as toklib
 
 
 @dataclass

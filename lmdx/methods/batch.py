@@ -145,8 +145,16 @@ def run_grounded_batch(
         so_images = (base.decode_latents(bundle, out.latents)
                      if (return_so_images or segmenter is not None) else
                      [None] * n_total)
-        all_latents_np = np.asarray(out.all_latents)
-        taps_np = {k: np.asarray(v) for k, v in out.saved_taps.items()}
+        # Trajectories and attention taps stay ON DEVICE when no alignment
+        # shift is needed (LMD+ default): downloading+re-uploading them costs
+        # ~100 MB of tunnel traffic per 4-image batch.
+        on_device = not p.align_with_overall_bboxes
+        if on_device:
+            all_latents_dev = out.all_latents
+            taps_dev = out.saved_taps
+        else:
+            all_latents_np = np.asarray(out.all_latents)
+            taps_np = {k: np.asarray(v) for k, v in out.saved_taps.items()}
     else:
         for im in images:
             latents_bg_per_image.append(np.asarray(
@@ -165,31 +173,33 @@ def run_grounded_batch(
         idxs = list(range(flat_idx, flat_idx + n_i))
         flat_idx += n_i
 
-        mask_list = []
-        traj_list = []
-        ref_taps_per_box = []
-        for j, bi in enumerate(idxs):
-            box = so_list[j][3]
-            mask = masking.refine_mask_from_box(
-                box, so_images[bi], latent_hw, segmenter, refine_cfg)
-            mask_list.append(mask)
-            traj_list.append(all_latents_np[:, bi : bi + 1])
-            if p.use_ref_ca:
-                ref_taps_per_box.append({
-                    k: v[:, bi, :, :, 0] for k, v in taps_np.items()
-                    if k in p.guidance_attn_keys
-                })
+        mask_list = [
+            masking.refine_mask_from_box(
+                so_list[j][3], so_images[bi], latent_hw, segmenter, refine_cfg)
+            for j, bi in enumerate(idxs)
+        ]
 
-        composed = compose_lib.compose_latents_with_alignment(
-            traj_list, mask_list, latents_bg_per_image[gi],
-            num_compose_steps=frozen_steps,
-            align_with_overall_bboxes=p.align_with_overall_bboxes,
-            overall_bboxes=[x[2] for x in conv.overall_phrases_words_bboxes],
-            horizontal_shift_only=p.horizontal_shift_only)
-        composed_list.append(composed)
+        if n_i and on_device:
+            composed_latents, fg_idx = _compose_device(
+                all_latents_dev[:, idxs[0] : idxs[0] + n_i], mask_list,
+                jnp.asarray(latents_bg_per_image[gi]), frozen_steps)
+            offsets = [(0.0, 0.0)] * n_i
+        else:
+            traj_list = ([all_latents_np[:, bi : bi + 1] for bi in idxs]
+                         if n_i else [])
+            host = compose_lib.compose_latents_with_alignment(
+                traj_list, mask_list, latents_bg_per_image[gi],
+                num_compose_steps=frozen_steps,
+                align_with_overall_bboxes=p.align_with_overall_bboxes,
+                overall_bboxes=[x[2] for x in conv.overall_phrases_words_bboxes],
+                horizontal_shift_only=p.horizontal_shift_only)
+            composed_latents = jnp.asarray(host.latents)
+            fg_idx = host.foreground_indices
+            offsets = host.offsets
+        composed_list.append(composed_latents)
         results_aux.append({
-            "frozen_mask": (composed.foreground_indices != 0).astype(np.float32),
-            "foreground_indices": composed.foreground_indices,
+            "frozen_mask": (fg_idx != 0).astype(np.float32),
+            "foreground_indices": fg_idx,
             "so_image_ids": idxs,
         })
 
@@ -216,12 +226,22 @@ def run_grounded_batch(
                 max_objs=MAX_OBJS, max_positions=MAX_POSITIONS,
                 max_ref_boxes=MAX_OBJS))
         if p.use_ref_ca:
-            shifted = compose_lib.shift_ref_taps(
-                ref_taps_per_box, composed.offsets,
-                horizontal_shift_only=p.horizontal_shift_only)
-            ref_list.append(_pad_ref(shifted, MAX_OBJS, p, cfg,
-                                     schedule.num_steps, latent_hw,
-                                     num_levels))
+            if n_i and on_device:
+                ref_list.append(_pad_ref_device(
+                    taps_dev, idxs, MAX_OBJS, p, cfg, schedule.num_steps,
+                    latent_hw, num_levels))
+            else:
+                ref_taps_per_box = [
+                    {k: v[:, bi, :, :, 0] for k, v in taps_np.items()
+                     if k in p.guidance_attn_keys}
+                    for bi in idxs
+                ] if n_i else []
+                shifted = compose_lib.shift_ref_taps(
+                    ref_taps_per_box, offsets,
+                    horizontal_shift_only=p.horizontal_shift_only)
+                ref_list.append({k: jnp.asarray(v) for k, v in _pad_ref(
+                    shifted, MAX_OBJS, p, cfg, schedule.num_steps,
+                    latent_hw, num_levels).items()})
         overall_prompts.append(overall_prompt)
         overall_negatives.append(im["overall_negative"])
 
@@ -230,16 +250,15 @@ def run_grounded_batch(
     uncond, _ = runtime_models.encode_text(bundle, overall_negatives)
     text_embeddings = jnp.concatenate([uncond, cond], axis=0)
 
-    frozen_latents = jnp.asarray(np.concatenate(
-        [c.latents for c in composed_list], axis=1))      # (S+1, G, H, W, C)
+    frozen_latents = jnp.concatenate(composed_list, axis=1)  # (S+1, G, H, W, C)
     frozen_mask = jnp.asarray(np.stack(
         [aux["frozen_mask"] for aux in results_aux]))      # (G, H, W)
     data_batched = guidance_lib.stack_guidance_data(data_list)
     ref_batched = None
     if p.use_ref_ca and ref_list:
         ref_batched = {
-            k: jnp.stack([r[k] for r in ref_list], axis=1)  # (T, G, Bx, h, n)
-            for k in ref_list[0]
+            k: jnp.stack([jnp.asarray(r[k]) for r in ref_list], axis=1)
+            for k in ref_list[0]       # (T, G, Bx, heads, n)
         }
 
     gligen_inputs = _overall_gligen_batched(bundle, images)
@@ -268,6 +287,51 @@ def run_grounded_batch(
             aux={"frozen_mask": np.asarray(aux["frozen_mask"]),
                  "foreground_indices": aux["foreground_indices"]}))
     return results
+
+
+def _compose_device(traj, mask_list, latents_bg, num_compose_steps):
+    """Device-side masked trajectory composition (no alignment shifts).
+
+    traj: (T+1, n_i, H, W, C) on device; mask_list: host (H, W) masks.
+    Mirrors compose_lib.compose_latents (largest mask first, box-to-bg copy
+    of the initial noise) without the host round trip."""
+    masks = [np.asarray(m, np.float32) for m in mask_list]
+    order = np.argsort([-m.sum() for m in masks])
+    s_plus = num_compose_steps + 1
+    h, w = masks[0].shape
+
+    comp0 = latents_bg  # (1, H, W, C)
+    for idx in order:
+        box_mask = jnp.asarray(
+            boxlib.mask_to_box_mask(masks[idx]))[None, :, :, None]
+        comp0 = comp0 * (1.0 - box_mask) + traj[0, idx : idx + 1] * box_mask
+
+    composed = jnp.zeros((s_plus,) + tuple(comp0.shape), comp0.dtype)
+    composed = composed.at[0].set(comp0)
+    foreground_indices = np.zeros((h, w), np.int32)
+    for idx in order:
+        m = masks[idx]
+        foreground_indices = (foreground_indices * (m == 0)
+                              + (idx + 1) * (m > 0)).astype(np.int32)
+        me = jnp.asarray(m)[None, None, :, :, None]
+        composed = composed * (1.0 - me) + traj[:s_plus, idx : idx + 1] * me
+    return composed, foreground_indices
+
+
+def _pad_ref_device(taps_dev, idxs, max_boxes, p, cfg, num_steps, latent_hw,
+                    num_levels):
+    """Device-side _pad_ref for the no-shift path: slice this image's boxes
+    out of the batched tap stacks and zero-pad the box axis."""
+    out = {}
+    for key in p.guidance_attn_keys:
+        stack = taps_dev[key][:, idxs[0] : idxs[0] + len(idxs), :, :, 0]
+        t_dim, n_i, heads, n = stack.shape
+        if n_i < max_boxes:
+            stack = jnp.concatenate(
+                [stack, jnp.zeros((t_dim, max_boxes - n_i, heads, n),
+                                  stack.dtype)], axis=1)
+        out[key] = stack
+    return out
 
 
 def _key_heads(key, cfg):

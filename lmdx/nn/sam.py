@@ -15,7 +15,6 @@ hand-tuned kernels.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import flax.linen as nn

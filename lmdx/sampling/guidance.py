@@ -24,7 +24,7 @@ Loss parity (reference utils/guidance.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

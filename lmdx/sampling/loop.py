@@ -22,7 +22,7 @@ generate_semantic_guidance :129, generate_gligen :323, generate_partial_frozen
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, NamedTuple
 
 import jax

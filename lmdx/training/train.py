@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..core import schedule as sched
 from ..dist import mesh as meshlib
 
 

@@ -12,9 +12,6 @@ import pytest
 from lmdx import methods
 from lmdx.runtime import models as runtime_models
 
-TINY_KEYS = (("down", 0, 0, 0), ("mid", 0, 0, 0), ("up", 1, 0, 0))
-TINY_OBJ_KEY = ("down", 0, 0, 0)
-
 SPEC = {
     "prompt": "A realistic scene with a red cube and a blue ball",
     "gen_boxes": [
