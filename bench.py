@@ -38,13 +38,16 @@ SPEC = {
 }
 
 
-BATCH = 4  # images per batched pipeline invocation
+BATCH = 8  # images per batched pipeline invocation
 
 
 def _specs():
     """BATCH distinct 2-box layouts (different objects/placements/seeds)."""
     objects = [("a brown dog", "a white cat"), ("a red car", "a blue bus"),
-               ("a green chair", "a wooden table"), ("a black horse", "a gray sheep")]
+               ("a green chair", "a wooden table"), ("a black horse", "a gray sheep"),
+               ("a yellow bird", "a pink flower"), ("a silver laptop", "a red mug"),
+               ("an orange fox", "a white rabbit"), ("a blue kite", "a green ball")]
+    objects = objects[:BATCH]
     specs = []
     for i, (a, b) in enumerate(objects):
         specs.append({

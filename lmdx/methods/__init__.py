@@ -8,6 +8,7 @@ explicit bundle).
 
 from . import (  # noqa: F401
     backward_guidance,
+    batch,
     boxdiff,
     gligen,
     lmd,
