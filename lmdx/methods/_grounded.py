@@ -224,66 +224,48 @@ def run_grounded(spec, bundle, p: GroundedParams,
             if p.use_gligen else 0
         )
 
+        # All per-box passes ride ONE batched sampler call (batch = box
+        # count) — a large MXU-utilization win over the reference's
+        # sequential per-box diffusions (lmd.py:162-189, lmd_plus.py:162-189).
+        # When per-box guidance is on (LMD), each box is an independent
+        # "image" for the batched guidance loop: per-box GuidanceData stacks
+        # along the batch axis and converged boxes freeze individually.
+        n = len(so_list)
+        so_data = None
         if use_so_guidance:
-            # Guided per-box passes run sequentially (the guidance loss is
-            # built per object); un-guided passes batch below.
-            outs = []
+            so_datas = []
             for idx, (prompt, phrase, word, box) in enumerate(so_list):
                 indices = toklib.get_phrase_indices(
                     bundle.tokenizer, prompt, [phrase], words=[word])
-                so_data = guidance_lib.make_guidance_data(
+                so_datas.append(guidance_lib.make_guidance_data(
                     [box], indices.object_positions, so_spec, latent_hw,
-                    num_levels)
-                gligen_inputs = (
-                    base.make_gligen_inputs(bundle, [box], [phrase])
-                    if p.use_gligen else None
-                )
-                cond_i = so_cond[idx : idx + 1]
-                outs.append(sample(
-                    bundle.unet, bundle.params["unet"], so_schedule,
-                    input_latents_list[idx],
-                    jnp.concatenate([so_uncond, cond_i], axis=0),
-                    cond_embeddings=cond_i,
-                    guidance_scale=p.guidance_scale,
-                    spec=so_spec, guidance_data=so_data, max_iter=p.max_iter,
-                    gligen=gligen_inputs, num_fuser_steps=fuser_steps,
-                    save_all_latents=True, save_keys=save_keys,
-                    save_cond_only=True, save_single_token=True,
-                    tap_token_index=word_token_indices[idx],
-                    solver=p.scheduler,
-                ))
-            all_latents = jnp.concatenate([o.all_latents for o in outs], axis=1)
-            saved_taps = {
-                k: jnp.concatenate([o.saved_taps[k] for o in outs], axis=1)
-                for k in outs[0].saved_taps
-            }
-            final_latents = jnp.concatenate([o.latents for o in outs], axis=0)
-        else:
-            # All per-box passes share shapes and have no data-dependent
-            # control flow, so they ride ONE batched sampler call — a large
-            # MXU-utilization win over the reference's sequential per-box
-            # diffusions (lmd_plus.py:162-189).
-            n = len(so_list)
-            batched_latents = jnp.concatenate(input_latents_list, axis=0)
-            text_embeddings = jnp.concatenate(
-                [jnp.repeat(so_uncond, n, axis=0), so_cond], axis=0)
-            gligen_inputs = (
-                base.make_gligen_inputs_batched(
-                    bundle, [x[3] for x in so_list], [x[1] for x in so_list])
-                if p.use_gligen else None
-            )
-            out = sample(
-                bundle.unet, bundle.params["unet"], so_schedule,
-                batched_latents, text_embeddings,
-                guidance_scale=p.guidance_scale,
-                gligen=gligen_inputs, num_fuser_steps=fuser_steps,
-                save_all_latents=True, save_keys=save_keys,
-                save_cond_only=True, save_single_token=True,
-                tap_token_index=np.asarray(word_token_indices, np.int32),
-                solver=p.scheduler,
-            )
-            all_latents, saved_taps, final_latents = (
-                out.all_latents, out.saved_taps, out.latents)
+                    num_levels, max_objs=1))
+            so_data = guidance_lib.stack_guidance_data(so_datas)
+        batched_latents = jnp.concatenate(input_latents_list, axis=0)
+        text_embeddings = jnp.concatenate(
+            [jnp.repeat(so_uncond, n, axis=0), so_cond], axis=0)
+        gligen_inputs = (
+            base.make_gligen_inputs_batched(
+                bundle, [x[3] for x in so_list], [x[1] for x in so_list])
+            if p.use_gligen else None
+        )
+        out = sample(
+            bundle.unet, bundle.params["unet"], so_schedule,
+            batched_latents, text_embeddings,
+            cond_embeddings=so_cond if use_so_guidance else None,
+            guidance_scale=p.guidance_scale,
+            spec=so_spec if use_so_guidance else None,
+            guidance_data=so_data,
+            guidance_batched=use_so_guidance,
+            max_iter=p.max_iter,
+            gligen=gligen_inputs, num_fuser_steps=fuser_steps,
+            save_all_latents=True, save_keys=save_keys,
+            save_cond_only=True, save_single_token=True,
+            tap_token_index=np.asarray(word_token_indices, np.int32),
+            solver=p.scheduler,
+        )
+        all_latents, saved_taps, final_latents = (
+            out.all_latents, out.saved_taps, out.latents)
 
         so_images_arr = (
             base.decode_latents(bundle, final_latents)
