@@ -269,7 +269,9 @@ def run_grounded(spec, bundle, p: GroundedParams,
 
         so_images_arr = (
             base.decode_latents(bundle, final_latents)
-            if (return_so_images or segmenter is not None) else None
+            if (return_so_images
+                or (segmenter is not None
+                    and getattr(segmenter, "needs_image", True))) else None
         )
 
         all_latents_np = np.asarray(all_latents)

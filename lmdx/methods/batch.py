@@ -142,9 +142,10 @@ def run_grounded_batch(
             save_cond_only=True, save_single_token=True,
             tap_token_index=word_token_indices, solver=p.scheduler,
         )
+        needs_pixels = (return_so_images
+                        or getattr(segmenter, "needs_image", True))
         so_images = (base.decode_latents(bundle, out.latents)
-                     if (return_so_images or segmenter is not None) else
-                     [None] * n_total)
+                     if needs_pixels else [None] * n_total)
         # Trajectories and attention taps stay ON DEVICE when no alignment
         # shift is needed (LMD+ default): downloading+re-uploading them costs
         # ~100 MB of tunnel traffic per 4-image batch.

@@ -44,6 +44,25 @@ class ModelBundle:
         return (1, self.config.latent_height, self.config.latent_width, 4)
 
 
+def cast_params_for_inference(params: dict, dtype) -> dict:
+    """Store matmul/conv params in the compute dtype (norm params stay f32).
+
+    Modules built with dtype=bfloat16 cast their f32 params to bf16 at every
+    use; storing them bf16 up front is bit-identical (same round-to-nearest
+    cast) while halving parameter HBM footprint and weight-read bandwidth.
+    Norm layers (GroupNorm/LayerNorm — every name contains "norm") compute in
+    f32, so their scale/bias stay f32."""
+
+    def walk(tree, in_norm):
+        if isinstance(tree, dict):
+            return {k: walk(v, in_norm or "norm" in k) for k, v in tree.items()}
+        if in_norm or tree.dtype != jnp.float32:
+            return tree
+        return tree.astype(dtype)
+
+    return walk(params, False)
+
+
 def _random_init_params(module, rng, *args, **kwargs):
     # Jit the whole init: executed eagerly, a full-SD init dispatches ~10^3
     # individual ops, which is pathologically slow over the remote-TPU
@@ -153,6 +172,11 @@ def load_bundle(
             tokenizer = toklib.ClipBpeTokenizer.from_dir(tok_dir)
     else:
         params = init_random_params(config, seed=seed)
+
+    if (config.jnp_dtype() == jnp.bfloat16
+            and os.environ.get("LMDX_PARAM_STORAGE", "compute") != "float32"):
+        params = jax.jit(
+            lambda p: cast_params_for_inference(p, jnp.bfloat16))(params)
 
     return ModelBundle(
         config=config,

@@ -53,6 +53,9 @@ class RefineConfig:
 class CoarseSegmenter:
     """Weightless fallback segmenter: echoes its prompt as the mask."""
 
+    # Prompt-only: callers may skip decoding per-box pixels entirely.
+    needs_image = False
+
     def segment(self, image=None, input_points=None, input_boxes=None,
                 target_hw=None):
         h, w = target_hw
