@@ -156,6 +156,186 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
     return out
 
 
+def _head_pack(d: int) -> int:
+    """Heads packed per MXU pass: SD1.5's head_dim 40 underfills the 128-wide
+    contraction (31% utilization); packing 3 heads into a block-diagonal
+    120-contraction matmul recovers ~3x on the QK^T and AV passes."""
+    return max(1, min(3, 128 // d))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "return_lse"))
+def _pallas_attention_packed(q, k, v, interpret=False, return_lse=False):
+    """Head-packed flash forward for small head_dim.
+
+    SD1.5's head_dim 40 underfills the MXU's 128-wide contraction (31%
+    utilization). Here `pack` heads ride one MXU pass: K/V are laid out
+    block-diagonally in HBM (chunk-major, built by one einsum against
+    eye(pack)), so QK^T contracts over pack*d lanes and AV produces pack*d
+    output lanes — both near-full MXU tiles.
+
+    Grid = (batch x head-group, kv-chunk, q-block) with the kv-chunk axis
+    outermost-but-one; online-softmax state (max/denominator rows, packed
+    transposed output accumulator) lives in VMEM scratch that persists
+    across the sequentially-executed grid. Scores and the accumulator are
+    kept TRANSPOSED — (kv, q) and (pack*d, q) — so every per-head slice is
+    sublane-aligned (d = 40 is a multiple of the 8-sublane tile) and no
+    in-kernel vector transposes are needed. Outputs are written on the last
+    chunk and untransposed by XLA outside.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    pack = _head_pack(d)
+    scale = 1.0 / (d**0.5)
+
+    hp = -(-h // pack) * pack
+    if hp != h:
+        padh = [(0, 0), (0, hp - h), (0, 0), (0, 0)]
+        q = jnp.pad(q, padh)
+        k = jnp.pad(k, padh)
+        v = jnp.pad(v, padh)
+    groups = hp // pack
+    bg = b * groups
+
+    kv_chunk = 512
+    lk_pad = -(-lk // kv_chunk) * kv_chunk
+    if lk_pad != lk:
+        padkv = [(0, 0), (0, 0), (0, lk_pad - lk), (0, 0)]
+        k = jnp.pad(k, padkv)
+        v = jnp.pad(v, padkv)
+    (q,), lq_pad = _pad_q_rows([q], lq)
+    n_chunks = lk_pad // kv_chunk
+    dp = d * pack
+    block_q = 256 if lq_pad % 256 == 0 else 128
+    n_qblocks = lq_pad // block_q
+
+    qr = q.reshape(bg, pack, lq_pad, d)
+    # Block-diagonal packed K/V in HBM: (bg, nc, pack*ck, dp), chunk-major.
+    eye = jnp.eye(pack, dtype=k.dtype)
+    kc_ = k.reshape(bg, pack, n_chunks, kv_chunk, d).transpose(0, 2, 1, 3, 4)
+    vc_ = v.reshape(bg, pack, n_chunks, kv_chunk, d).transpose(0, 2, 1, 3, 4)
+    kp_bd = jnp.einsum("gnpcd,pq->gnpcqd", kc_, eye).reshape(
+        bg, n_chunks, pack * kv_chunk, dp)
+    vp_bd = jnp.einsum("gnpcd,pq->gnpcqd", vc_, eye).reshape(
+        bg, n_chunks, pack * kv_chunk, dp)
+
+    grid = (bg, n_chunks, n_qblocks)
+
+    def kernel(q_ref, kp_ref, vp_ref, o_ref, lse_ref,
+               o_scr, m_scr, l_scr):
+        c = pl.program_id(1)
+        j = pl.program_id(2)
+        cols = pl.ds(j * block_q, block_q)
+
+        @pl.when(c == 0)
+        def _init():
+            o_scr[:, cols] = jnp.zeros((dp, block_q), jnp.float32)
+            m_scr[:, cols] = jnp.full((pack * 8, block_q), -1e30, jnp.float32)
+            l_scr[:, cols] = jnp.zeros((pack * 8, block_q), jnp.float32)
+
+        qp = jnp.concatenate(
+            [q_ref[0, p] for p in range(pack)], axis=-1)        # (bq, dp)
+        kp = kp_ref[0, 0]                                       # (pack*ck, dp)
+        vp = vp_ref[0, 0]
+
+        # Transposed scores: (pack*ck, bq); per-head row slices are
+        # chunk-aligned.
+        s_t = jax.lax.dot_general(
+            kp, qp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if lk_pad != lk:
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (pack * kv_chunk, block_q), 0)
+            kv_pos = c * kv_chunk + jax.lax.rem(row, kv_chunk)
+            s_t = jnp.where(kv_pos < lk, s_t, -1e30)
+
+        p_parts, alpha_parts = [], []
+        for p in range(pack):
+            s_h = jax.lax.slice_in_dim(
+                s_t, p * kv_chunk, (p + 1) * kv_chunk, axis=0)  # (ck, bq)
+            m_old = m_scr[p * 8 : p * 8 + 1, cols]              # (1, bq)
+            l_old = l_scr[p * 8 : p * 8 + 1, cols]
+            m_new = jnp.maximum(m_old, jnp.max(s_h, axis=0, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)                      # (1, bq)
+            p_h = jnp.exp(s_h - m_new)                          # (ck, bq)
+            m_scr[p * 8 : p * 8 + 1, cols] = m_new
+            l_scr[p * 8 : p * 8 + 1, cols] = (
+                l_old * alpha + jnp.sum(p_h, axis=0, keepdims=True))
+            p_parts.append(p_h)
+            alpha_parts.append(jnp.broadcast_to(alpha, (d, block_q)))
+
+        p_t = jnp.concatenate(p_parts, axis=0)                  # (pack*ck, bq)
+        alpha_t = jnp.concatenate(alpha_parts, axis=0)          # (dp, bq)
+        o_new = o_scr[:, cols] * alpha_t + jax.lax.dot_general(
+            vp, p_t.astype(vp.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (dp, bq)
+        o_scr[:, cols] = o_new
+
+        @pl.when(c == n_chunks - 1)
+        def _finish():
+            l_pack = jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.maximum(l_scr[p * 8 : p * 8 + 1, cols], 1e-30),
+                    (d, block_q))
+                 for p in range(pack)], axis=0)                 # (dp, bq)
+            o_ref[0] = (o_new / l_pack).astype(o_ref.dtype)
+            lse_ref[0] = jnp.concatenate(
+                [jnp.broadcast_to(
+                    m_scr[p * 8 : p * 8 + 1, cols]
+                    + jnp.log(jnp.maximum(
+                        l_scr[p * 8 : p * 8 + 1, cols], 1e-30)),
+                    (8, block_q))
+                 for p in range(pack)], axis=0)                 # (pack*8, bq)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, pack, block_q, d), lambda i, c, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, pack * kv_chunk, dp),
+                         lambda i, c, j: (i, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, pack * kv_chunk, dp),
+                         lambda i, c, j: (i, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, dp, block_q), lambda i, c, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack * 8, block_q), lambda i, c, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bg, dp, lq_pad), q.dtype),
+            jax.ShapeDtypeStruct((bg, pack * 8, lq_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((dp, lq_pad), jnp.float32),
+            pltpu.VMEM((pack * 8, lq_pad), jnp.float32),
+            pltpu.VMEM((pack * 8, lq_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bg * lq_pad * pack * lk_pad * dp,
+            bytes_accessed=(qr.size + 2 * kp_bd.size
+                            + bg * lq_pad * dp) * q.dtype.itemsize,
+            transcendentals=bg * pack * lq_pad * lk_pad,
+        ),
+        interpret=interpret,
+    )(qr, kp_bd, vp_bd)
+
+    # Unpack: (bg, dp, lq) -> (b, groups, pack, d, lq) -> (b, h, lq, d)
+    o = out[:, :, :lq].reshape(b, groups, pack, d, lq)
+    o = o.transpose(0, 1, 2, 4, 3).reshape(b, hp, lq, d)[:, :h]
+    if return_lse:
+        lse_h = lse.reshape(b, groups, pack, 8, lq_pad)[:, :, :, 0, :lq]
+        lse_h = lse_h.reshape(b, hp, lq)[:, :h]
+        return o, lse_h
+    return o
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
     """Flash-attention backward: blockwise recompute of the probabilities —
@@ -315,13 +495,28 @@ def _kernel_supported(q, k) -> bool:
     return vmem < 12 * 1024 * 1024
 
 
+def _use_packed(q) -> bool:
+    # Measured on-chip (min of 3x30 reps, bf16, batch 16): the block-diagonal
+    # K/V materialization costs more HBM traffic than the narrow-contraction
+    # MXU win at every SD shape — 4096x4096 d40: plain 13.4ms vs pack-3
+    # 22.0ms / pack-2 17.2ms / pack-1 16.5ms; 1024x1024 d80: plain 1.91ms vs
+    # transposed 2.22ms; 256x256 d160: 1.18ms vs 1.28ms. Kept as a tested,
+    # opt-in experiment (LMDX_PACKED_ATTENTION=1) — never auto-dispatched.
+    return os.environ.get("LMDX_PACKED_ATTENTION", "0") == "1"
+
+
 @jax.custom_vjp
 def _flash_attention_ad(q, k, v):
+    if _use_packed(q):
+        return _pallas_attention_packed(q, k, v)
     return _pallas_attention(q, k, v)
 
 
 def _flash_fwd(q, k, v):
-    o, lse = _pallas_attention(q, k, v, return_lse=True)
+    if _use_packed(q):
+        o, lse = _pallas_attention_packed(q, k, v, return_lse=True)
+    else:
+        o, lse = _pallas_attention(q, k, v, return_lse=True)
     return o, (q, k, v, lse, o)
 
 
@@ -347,3 +542,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def flash_attention_interpret(q, k, v):
     """Interpreter-mode entry for CPU correctness tests of the kernel."""
     return _pallas_attention(q, k, v, interpret=True)
+
+
+def packed_attention_interpret(q, k, v, return_lse=False):
+    """Interpreter-mode entry for CPU tests of the head-packed kernel."""
+    return _pallas_attention_packed(q, k, v, interpret=True,
+                                    return_lse=return_lse)

@@ -20,11 +20,14 @@ import jax.numpy as jnp
 REPS = 50
 
 
+import numpy as np
+
+
 def timeit(fn, *args):
-    out = jax.block_until_ready(fn(*args))
+    np.asarray(fn(*args)[0, 0, :8])  # warmup + forced host transfer
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
-    return time.perf_counter() - t0, out
+    np.asarray(fn(*args)[0, 0, :8])  # axon tunnel defers work past
+    return time.perf_counter() - t0, None  # block_until_ready; transfer forces it
 
 
 def scan_dot(a, b):
@@ -48,9 +51,10 @@ def main():
 
     def scan_bdot(a, b):
         def body(c, _):
-            c = jnp.einsum("hqd,hdk->hqk", a + c[0, 0, 0] * 0, b,
+            # Real (scalar) data dependence so XLA can't CSE iterations away.
+            c = jnp.einsum("hqd,hdk->hqk", a + c[:, :1, :1] * 1e-9, b,
                            preferred_element_type=jnp.float32)
-            return c.astype(a.dtype) * 1e-3, None
+            return c.astype(a.dtype), None
 
         init = jnp.zeros((a.shape[0], a.shape[1], b.shape[2]), a.dtype)
         return jax.lax.scan(body, init, None, length=REPS)[0]
