@@ -89,13 +89,6 @@ def attention_probs(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
 
 
-def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Attention without materializing probabilities where possible."""
-    from .pallas.flash_attention import flash_attention
-
-    return flash_attention(q, k, v)
-
-
 class CrossAttention(nn.Module):
     """Multi-head attention (self when context is None, cross otherwise)."""
 
@@ -117,12 +110,21 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.head_dim
         ctx = x if context is None else context
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-        q, k, v = (split_heads(t, self.heads) for t in (q, k, v))
+        qf = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kf = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        vf = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
         tapped = self.tap_name is not None and self.tap_name in taps.names
+        if not tapped and taps.fused:
+            # Projection-layout fused path: no head-split relayout in HBM
+            # (see flash_attention.flash_attention_hd).
+            from .pallas.flash_attention import flash_attention_hd
+
+            out = flash_attention_hd(qf, kf, vf, self.heads)
+            return nn.Dense(self.query_dim, dtype=self.dtype,
+                            name="to_out")(out)
+
+        q, k, v = (split_heads(t, self.heads) for t in (qf, kf, vf))
         if tapped:
             probs = attention_probs(q, k)
             export = probs
@@ -147,8 +149,6 @@ class CrossAttention(nn.Module):
                 "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                 preferred_element_type=jnp.float32,
             ).astype(v.dtype)
-        elif taps.fused:
-            out = fused_attention(q, k, v)
         else:
             from .pallas.flash_attention import _xla_attention
 

@@ -81,6 +81,20 @@ def _pad_kv(k, v, lk):
     return k, v, lk_pad
 
 
+def _zero_tail_rows(x, valid_rows: int):
+    """Zero rows >= valid_rows of a (rows, d) block.
+
+    Unaligned K/V lengths are handled WITHOUT an HBM jnp.pad (at the GLIGEN
+    fuser's 4126-token KV that pad round-trips 2x84 MB per layer per step):
+    the kernels take the unpadded array and Pallas DMAs a partial edge block,
+    leaving the tail rows of the VMEM buffer undefined. Undefined data can be
+    +-inf/NaN leftovers, and 0 * inf = NaN would leak through the score and
+    output matmuls, so the tail must be zeroed explicitly — after which every
+    downstream contraction over the tail contributes exact zeros."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=0)
+    return jnp.where(row < valid_rows, x, jnp.zeros_like(x))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "return_lse"))
 def _pallas_attention(q, k, v, interpret=False, return_lse=False):
     from jax.experimental import pallas as pl
@@ -91,32 +105,54 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
     bh = b * h
     scale = 1.0 / (d**0.5)
 
-    # Pad K/V length to the lane tile; mask padded columns inside the kernel.
-    k, v, lk_pad = _pad_kv(k, v, lk)
+    # K/V length stays UNPADDED in HBM; the kernel's edge block is partial
+    # and its undefined tail rows are zeroed in VMEM (_zero_tail_rows).
+    lk_pad = -(-lk // 128) * 128
     (q,), lq_pad = _pad_q_rows([q], lq)
 
     block_q = _pick_block_q(lq_pad, lk_pad, d, n_score_bufs=2)
     grid = (bh, lq_pad // block_q)
 
     qr = q.reshape(bh, lq_pad, d)
-    kr = k.reshape(bh, lk_pad, d)
-    vr = v.reshape(bh, lk_pad, d)
+    kr = k.reshape(bh, lk, d)
+    vr = v.reshape(bh, lk, d)
+
+    # The kernel is VMEM-traffic bound: every elementwise pass over the
+    # (block_q, lk) f32 score matrix costs ~0.5 ms at the 4096-token level.
+    # Two passes are eliminated (measured 10.6 -> 8.4 ms at 4096x4096 d40,
+    # 2.35 -> 1.69 ms at 1024x1024 d80):
+    #  - the softmax scale is folded into the q block before the matmul
+    #    (a (block_q, d) multiply instead of a (block_q, lk) one);
+    #  - the softmax denominator comes out of the AV matmul via a ones
+    #    column appended to V — the extra lanes are free, the MXU pads the
+    #    output width to 128 anyway.
+    de = -(-(d + 1) // 8) * 8  # V extended with [ones | zeros] columns
 
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
-        qb = q_ref[0].astype(jnp.float32)
+        qb = q_ref[0].astype(jnp.float32) * scale
         kb = k_ref[0].astype(jnp.float32)
         vb = v_ref[0].astype(jnp.float32)
+        if lk_pad != lk:
+            kb = _zero_tail_rows(kb, lk)
+            vb = _zero_tail_rows(vb, lk)
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         if lk_pad != lk:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
             s = jnp.where(col < lk, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, vb, preferred_element_type=jnp.float32) / denom
-        o_ref[0] = o.astype(o_ref.dtype)
+        ones = jnp.ones((vb.shape[0], 1), vb.dtype)
+        if lk_pad != lk:
+            ones = _zero_tail_rows(ones, lk)
+        vext = jnp.concatenate(
+            [vb, ones, jnp.zeros((vb.shape[0], de - d - 1), vb.dtype)], axis=1)
+        oe = jax.lax.dot_general(
+            p, vext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        denom = oe[:, d : d + 1]
+        o_ref[0] = (oe[:, :d] / denom).astype(o_ref.dtype)
         # LSE row broadcast over an 8-sublane pad (TPU tiling: the last two
         # block dims must be (8k, 128k)); consumers read sublane 0.
         lse_row = (m + jnp.log(denom))[:, 0]
@@ -354,7 +390,8 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
     lk = k.shape[2]
     bh = b * h
     scale = 1.0 / (d**0.5)
-    k, v, lk_pad = _pad_kv(k, v, lk)
+    # K/V length stays UNPADDED in HBM (see _zero_tail_rows).
+    lk_pad = -(-lk // 128) * 128
     # Pad the query axis; padded g rows are zero, so their ds vanishes and
     # dk/dv stay exact. Padded LSE is large so exp(s - lse) underflows to 0.
     (q, o, g), lq_pad = _pad_q_rows([q, o, g], lq)
@@ -368,8 +405,8 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
     grid = (bh, lq_pad // block_q)
 
     qr = q.reshape(bh, lq_pad, d)
-    kr = k.reshape(bh, lk_pad, d)
-    vr = v.reshape(bh, lk_pad, d)
+    kr = k.reshape(bh, lk, d)
+    vr = v.reshape(bh, lk, d)
     # Re-pad the LSE sublane dim for the TPU tiling constraint.
     lser = jnp.broadcast_to(lse.reshape(bh, 1, lq_pad), (bh, 8, lq_pad))
     orr = o.reshape(bh, lq_pad, d)
@@ -388,6 +425,7 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
                dq_ref, dk_ref, dv_ref):
         j = pl.program_id(1)
         qb = q_ref[0].astype(jnp.float32)
+        qbs = qb * scale  # scale folded into the (bq, d) block, not the scores
         ob = o_ref[0].astype(jnp.float32)
         gb = g_ref[0].astype(jnp.float32)
         lseb = lse_ref[0, 0]
@@ -398,10 +436,13 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
             sl = pl.ds(c * kv_chunk, kv_chunk)
             kc = k_ref[0, sl].astype(jnp.float32)            # (chunk, d)
             vc = v_ref[0, sl].astype(jnp.float32)
+            if lk_pad != lk and (c + 1) * kv_chunk > lk:
+                kc = _zero_tail_rows(kc, lk - c * kv_chunk)
+                vc = _zero_tail_rows(vc, lk - c * kv_chunk)
 
             s = jax.lax.dot_general(
-                qb, kc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                qbs, kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             if lk_pad != lk:
                 col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
                 s = jnp.where(col + c * kv_chunk < lk, s, _NEG_INF)
@@ -461,8 +502,8 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, lq_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, lk_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, lk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lk, d), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * bh * lq * lk_pad * d,
@@ -537,6 +578,215 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if force_xla or not on_tpu or not _kernel_supported(q, k):
         return _xla_attention(q, k, v)
     return _flash_attention_ad(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Fused-heads kernel: attention directly on (B, L, heads*head_dim) tensors.
+#
+# The projection Dense layers produce activations with heads*head_dim on the
+# minor (lane) axis; the per-head kernels above need head_dim minor with the
+# head axis folded into the grid, and XLA materializes that relayout as HBM
+# copies around every attention call (~0.85 ms each at the 4096-token level,
+# ~14 ms per batch-16 UNet forward, measured from an xplane trace). This
+# kernel instead takes the projection layout verbatim and slices heads with
+# static lane offsets inside VMEM, so no HBM relayout exists in either
+# direction. It also subsumes the small-KV (77-token cross-attention) case
+# that previously fell back to a materialized XLA softmax: K/V ride along as
+# a partial edge block and the score matrix never reaches HBM.
+#
+# K/V ride ordinary pipelined BlockSpecs (full-KV blocks, revisited across
+# q-blocks so Pallas re-fetches nothing), which double-buffers them; the
+# envelope check keeps the kernel to shapes where that fits scoped VMEM next
+# to the score buffers. That covers every cross-attention (77-token KV) and
+# the 1024/256/64-token levels; 4096-token self/fuser attention stays on the
+# per-head kernel above. (A single-buffered manual-DMA variant was tried and
+# rejected by Mosaic: memref slices must be 128-lane aligned, and
+# heads*head_dim = 320 is not.)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "interpret", "return_lse"))
+def _pallas_attention_fusedheads(qf, kf, vf, heads,
+                                 interpret=False, return_lse=False):
+    """qf: (b, lq, heads*d); kf/vf: (b, lk, heads*d) -> (b, lq, heads*d)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, lq, hd = qf.shape
+    lk = kf.shape[1]
+    d = hd // heads
+    scale = 1.0 / (d**0.5)
+    lk_pad = -(-lk // 128) * 128
+
+    lq_pad = -(-lq // 128) * 128
+    if lq_pad != lq:
+        qf = jnp.pad(qf, [(0, 0), (0, lq_pad - lq), (0, 0)])
+
+    block_q = _fusedheads_block_q(lq_pad, lk_pad, hd, qf.dtype.itemsize)
+    grid = (b, lq_pad // block_q)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+        kb = k_ref[0]
+        vb = v_ref[0]
+        if lk_pad != lk:
+            # Partial edge block: the tail rows are undefined VMEM and
+            # 0 * inf = NaN would leak through the AV matmul.
+            kb = _zero_tail_rows(kb, lk)
+            vb = _zero_tail_rows(vb, lk)
+
+        for h in range(heads):
+            lanes = slice(h * d, (h + 1) * d)
+            qh = q_ref[0][:, lanes].astype(jnp.float32)      # (bq, d)
+            kh = kb[:, lanes].astype(jnp.float32)            # (lk_pad, d)
+            vh = vb[:, lanes].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (bq, lk_pad)
+            if lk_pad != lk:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < lk, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p, vh, preferred_element_type=jnp.float32) / denom
+            o_ref[0, :, lanes] = o.astype(o_ref.dtype)
+            lse_row = (m + jnp.log(denom))[:, 0]
+            lse_ref[0, h] = jnp.broadcast_to(
+                lse_row[None, :], (8, lse_row.shape[0]))
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, 8, block_q), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lq_pad, hd), qf.dtype),
+            jax.ShapeDtypeStruct((b, heads, 8, lq_pad), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * lq * lk_pad * d,
+            bytes_accessed=(qf.size + kf.size + vf.size
+                            + b * lq * hd) * qf.dtype.itemsize,
+            transcendentals=b * heads * lq * lk_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out[:, :lq]
+    if return_lse:
+        return out, lse[:, :, 0, :lq]
+    return out
+
+
+def _fusedheads_vmem(bq: int, lk_pad: int, hd: int, itemsize: int) -> int:
+    return (2 * bq * lk_pad * 4              # s, p f32 (one head live)
+            + 4 * lk_pad * hd * itemsize     # k/v blocks, double-buffered
+            + 4 * bq * hd * itemsize)        # q/o blocks, double-buffered
+
+
+_FUSEDHEADS_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _fusedheads_block_q(lq_pad: int, lk_pad: int, hd: int,
+                        itemsize: int) -> int:
+    for bq in (512, 256, 128):
+        if lq_pad % bq != 0:
+            continue
+        if _fusedheads_vmem(bq, lk_pad, hd, itemsize) < _FUSEDHEADS_VMEM_BUDGET:
+            return bq
+    return 128
+
+
+def _fusedheads_supported(qf, kf, heads) -> bool:
+    # Measured on-chip: the per-head lane extracts (heads*head_dim = 320
+    # lanes, head slices at 40-lane offsets -> Mosaic lane rotations) cost
+    # almost exactly what the HBM head-split relayouts they replace cost —
+    # batch-16 fuser UNet forward 208.7 ms (off) vs 210.4 ms (on); standalone
+    # 4096x77 cross-attention 2.25 ms vs 1.66 ms for split+XLA. Kept as a
+    # tested opt-in (LMDX_FUSED_HEADS=1) — never auto-dispatched.
+    if os.environ.get("LMDX_FUSED_HEADS", "0") != "1":
+        return False
+    b, lq, hd = qf.shape
+    lk = kf.shape[1]
+    d = hd // heads
+    if hd % heads or d % 8 or d > 256 or lq < 8:
+        return False
+    lk_pad = -(-lk // 128) * 128
+    return (_fusedheads_vmem(128, lk_pad, hd, qf.dtype.itemsize)
+            < _FUSEDHEADS_VMEM_BUDGET)
+
+
+def _split_heads_bhld(x, heads):
+    b, l, hd = x.shape
+    return x.reshape(b, l, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads_blhd(x):
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fusedheads_ad(qf, kf, vf, heads):
+    return _pallas_attention_fusedheads(qf, kf, vf, heads)
+
+
+def _fusedheads_fwd(qf, kf, vf, heads):
+    o, lse = _pallas_attention_fusedheads(qf, kf, vf, heads, return_lse=True)
+    return o, (qf, kf, vf, lse, o)
+
+
+def _fusedheads_bwd(heads, residuals, g):
+    # The backward runs only inside guidance iterations; it reuses the
+    # per-head flash backward, paying the head relayout there alone.
+    qf, kf, vf, lse, o = residuals
+    q = _split_heads_bhld(qf, heads)
+    k = _split_heads_bhld(kf, heads)
+    v = _split_heads_bhld(vf, heads)
+    dq, dk, dv = _pallas_attention_bwd(
+        q, k, v, lse, _split_heads_bhld(o, heads), _split_heads_bhld(g, heads))
+    return (_merge_heads_blhd(dq), _merge_heads_blhd(dk),
+            _merge_heads_blhd(dv))
+
+
+_fusedheads_ad.defvjp(_fusedheads_fwd, _fusedheads_bwd)
+
+
+def flash_attention_hd(qf: jnp.ndarray, kf: jnp.ndarray, vf: jnp.ndarray,
+                       heads: int,
+                       force_xla: bool | None = None) -> jnp.ndarray:
+    """Fused attention on projection-layout (B, L, heads*head_dim) tensors.
+
+    Falls back to the per-head path (split -> flash/XLA -> merge) off-TPU or
+    outside the kernel envelope."""
+    if force_xla is None:
+        force_xla = os.environ.get("LMDX_DISABLE_PALLAS", "0") == "1"
+    on_tpu = jax.default_backend() == "tpu"
+    if not force_xla and on_tpu and _fusedheads_supported(qf, kf, heads):
+        return _fusedheads_ad(qf, kf, vf, heads)
+    q = _split_heads_bhld(qf, heads)
+    k = _split_heads_bhld(kf, heads)
+    v = _split_heads_bhld(vf, heads)
+    return _merge_heads_blhd(flash_attention(q, k, v, force_xla=force_xla))
+
+
+def fusedheads_attention_interpret(qf, kf, vf, heads, return_lse=False):
+    """Interpreter-mode entry for CPU tests of the fused-heads kernel."""
+    return _pallas_attention_fusedheads(qf, kf, vf, heads, interpret=True,
+                                        return_lse=return_lse)
 
 
 def flash_attention_interpret(q, k, v):

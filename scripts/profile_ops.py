@@ -45,7 +45,10 @@ def main():
 
     fwd = jax.jit(lambda p, l: apply_unet(
         bundle.unet, p, l, t, ctx, objs=objs, fuser_gate=1.0)[0])
-    params = bundle.params["unet"]
+    # Commit params to device once — host-resident params would re-stream
+    # every call over the tunnel and swamp the trace with copy-starts.
+    params = jax.device_put(bundle.params["unet"])
+    jax.block_until_ready(params)
     np.asarray(fwd(params, lat)[0, 0, 0])  # compile + settle
 
     os.makedirs(TRACE_DIR, exist_ok=True)
@@ -58,37 +61,37 @@ def main():
         os.path.join(TRACE_DIR, "**", "*.xplane.pb"), recursive=True))[-1]
     print("xplane:", xplane)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    report(xplane)
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplane], "framework_op_stats^", {})
-    import csv
-    import io
 
-    rows = list(csv.reader(io.StringIO(
-        data.decode() if isinstance(data, bytes) else data)))
-    header = rows[0]
-    cols = {name: i for i, name in enumerate(header)}
-    print(" | ".join(header[:10]))
-    body = rows[1:]
+def report(xplane: str, top: int = 35):
+    """Per-op time breakdown parsed straight from the xplane proto.
 
-    def f(row, name, default=0.0):
-        try:
-            return float(row[cols[name]])
-        except Exception:
-            return default
+    (tensorboard_plugin_profile's converters are broken against this
+    image's protobuf/tensorflow pairing; the raw XSpace is all we need.)
+    Run under PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python if the C++
+    descriptor pool rejects the generated proto module.
+    """
+    import collections
 
-    key_time = next((c for c in ("total_self_time", "self_time_us",
-                                 "Total self-time (us)", "avg_self_time_us")
-                     if c in cols), None)
-    print("time column:", key_time)
-    body.sort(key=lambda r: -f(r, key_time))
-    total = sum(f(r, key_time) for r in body)
-    print(f"total self time: {total/1e3:.2f} ms")
-    for r in body[:30]:
-        name_i = cols.get("operation", cols.get("Operation", 1))
-        print(f"{f(r, key_time)/1e3:9.3f} ms  {100*f(r, key_time)/total:5.1f}%  "
-              f"{r[name_i][:90]}")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as fh:
+        xs.ParseFromString(fh.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        per_op = collections.Counter()
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            for ev in line.events:
+                per_op[meta.get(ev.metadata_id, "?")] += ev.duration_ps
+        total = sum(per_op.values())
+        print(f"\nplane {plane.name}: total {total/1e9:.2f} ms "
+              f"over {len(per_op)} op names")
+        for name, ps in per_op.most_common(top):
+            print(f"{ps/1e9:9.3f} ms {100*ps/total:5.1f}%  {name[:110]}")
 
 
 if __name__ == "__main__":

@@ -72,6 +72,64 @@ def test_packed_forward_matches_xla(h, lq, lk, d):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("h,lq,lk,d", [
+    (8, 512, 512, 40),     # self-attention, aligned
+    (8, 512, 542, 40),     # GLIGEN fuser KV (visual + grounding tokens)
+    (8, 512, 77, 40),      # cross-attention (CLIP text tokens)
+    (8, 256, 77, 80),      # level-1 cross
+    (4, 300, 77, 64),      # unaligned query length
+])
+def test_fusedheads_matches_xla(h, lq, lk, d):
+    """Fused-heads kernel on (B, L, h*d) projection-layout tensors == XLA,
+    and its LSE drives the per-head flash backward exactly."""
+    qf = jax.random.normal(jax.random.key(0), (2, lq, h * d), jnp.float32)
+    kf = jax.random.normal(jax.random.key(1), (2, lk, h * d), jnp.float32)
+    vf = jax.random.normal(jax.random.key(2), (2, lk, h * d), jnp.float32)
+    q, k, v = (fa._split_heads_bhld(t, h) for t in (qf, kf, vf))
+    ref = fa._merge_heads_blhd(fa._xla_attention(q, k, v))
+    out, lse = fa.fusedheads_attention_interpret(qf, kf, vf, h,
+                                                 return_lse=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g = jax.random.normal(jax.random.key(3), (2, lq, h * d), jnp.float32)
+    _, vjp = jax.vjp(
+        lambda a, b_, c: fa._merge_heads_blhd(fa._xla_attention(
+            fa._split_heads_bhld(a, h), fa._split_heads_bhld(b_, h),
+            fa._split_heads_bhld(c, h))), qf, kf, vf)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    dq, dk, dv = fa._pallas_attention_bwd(
+        q, k, v, lse, fa._split_heads_bhld(jnp.asarray(out), h),
+        fa._split_heads_bhld(g, h), interpret=True)
+    np.testing.assert_allclose(np.asarray(fa._merge_heads_blhd(dq)),
+                               np.asarray(dq_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fa._merge_heads_blhd(dk)),
+                               np.asarray(dk_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fa._merge_heads_blhd(dv)),
+                               np.asarray(dv_ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("lq,lk,d", [(1024, 1054, 40)])
+def test_fuser_shaped_unaligned_kv(lq, lk, d):
+    """GLIGEN-fuser-like KV (visual + grounding tokens, not a 128-multiple):
+    the plain kernels take K/V unpadded (partial Pallas edge block with
+    in-VMEM tail zeroing) — fwd and bwd must still match XLA."""
+    q = jax.random.normal(jax.random.key(0), (1, 4, lq, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (1, 4, lk, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (1, 4, lk, d), jnp.float32)
+    g = jax.random.normal(jax.random.key(3), (1, 4, lq, d), jnp.float32)
+
+    ref = fa._xla_attention(q, k, v)
+    o, lse = fa._pallas_attention(q, k, v, interpret=True, return_lse=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    _, vjp = jax.vjp(fa._xla_attention, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    dq, dk, dv = fa._pallas_attention_bwd(q, k, v, lse, o, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("lq,lk,d", [(300, 330, 32)])
 def test_unaligned_query_length(lq, lk, d):
     """Non-128-multiple query lengths pad internally, fwd and bwd."""
