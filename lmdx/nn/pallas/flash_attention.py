@@ -415,11 +415,12 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
     # Chunk the KV axis inside the kernel: the concurrently-live score-sized
     # temporaries (s/p, dp, ds) shrink from (bq, lk_pad) to (bq, chunk),
     # keeping the whole working set inside scoped VMEM at any KV length.
+    # The VMEM block is padded up to a whole number of chunks (the partial
+    # tail is masked/zeroed in-kernel) — chunking at 128 to make the chunk
+    # count divide exactly measured ~2x slower at the fuser's 4126-token KV.
     kv_chunk = min(lk_pad, 512)
-    n_chunks = lk_pad // kv_chunk if lk_pad % kv_chunk == 0 else None
-    if n_chunks is None:
-        kv_chunk = 128
-        n_chunks = lk_pad // kv_chunk
+    lk_pad = -(-lk_pad // kv_chunk) * kv_chunk
+    n_chunks = lk_pad // kv_chunk
 
     def kernel(q_ref, k_ref, v_ref, lse_ref, o_ref, g_ref,
                dq_ref, dk_ref, dv_ref):
@@ -453,6 +454,9 @@ def _pallas_attention_bwd(q, k, v, lse, o, g, interpret=False):
                 preferred_element_type=jnp.float32)
             ds = p * (dp - delta) * scale                    # (bq, chunk)
 
+            # (Feeding p/ds to these matmuls in bf16 was measured neutral at
+            # 4096 KV and slower at 1024 — the binding chain is the f32
+            # exp/elementwise work, not matmul operand bytes.)
             dq_acc = dq_acc + jnp.dot(ds, kc,
                                       preferred_element_type=jnp.float32)
 
