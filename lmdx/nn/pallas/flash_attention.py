@@ -42,12 +42,13 @@ def _pick_block_q(lq: int, lk_pad: int = 0, d: int = 0,
                   n_score_bufs: int = 2) -> int:
     """Largest divisible q-block whose working set fits scoped VMEM.
 
-    n_score_bufs: concurrently-live (block_q, lk_pad) f32 matrices — 2 for
-    the forward (s, p), 4 for the backward (s/p, dp, ds + headroom). The
-    budget is deliberately far below the 16M scoped-VMEM limit: measured
-    kernels carry ~6-8M of fixed overhead (double-buffered in/out blocks,
-    layout copies) on top of the score temporaries."""
-    budget = (3 if n_score_bufs >= 4 else 8) * 1024 * 1024
+    n_score_bufs: concurrently-live (block_q, lk_pad) f32 matrices AFTER
+    Mosaic's liveness reuse — 1 for the forward (p reuses s's buffer;
+    measured: block_q 512 at lk 4224 compiles and runs ~6% faster than 256,
+    1024 exceeds VMEM), 4 for the backward (s/p, dp, ds + headroom). The
+    budget stays below the 16M scoped-VMEM limit to leave room for
+    double-buffered in/out blocks and layout copies."""
+    budget = (3 if n_score_bufs >= 4 else 10) * 1024 * 1024
     for bq in (512, 256, 128):
         if lq % bq != 0:
             continue
@@ -110,7 +111,7 @@ def _pallas_attention(q, k, v, interpret=False, return_lse=False):
     lk_pad = -(-lk // 128) * 128
     (q,), lq_pad = _pad_q_rows([q], lq)
 
-    block_q = _pick_block_q(lq_pad, lk_pad, d, n_score_bufs=2)
+    block_q = _pick_block_q(lq_pad, lk_pad, d, n_score_bufs=1)
     grid = (bh, lq_pad // block_q)
 
     qr = q.reshape(bh, lq_pad, d)
