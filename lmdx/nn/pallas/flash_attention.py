@@ -48,7 +48,7 @@ def _pick_block_q(lq: int, lk_pad: int = 0, d: int = 0,
     1024 exceeds VMEM), 4 for the backward (s/p, dp, ds + headroom). The
     budget stays below the 16M scoped-VMEM limit to leave room for
     double-buffered in/out blocks and layout copies."""
-    budget = (3 if n_score_bufs >= 4 else 10) * 1024 * 1024
+    budget = (3 if n_score_bufs >= 4 else 11) * 1024 * 1024
     for bq in (512, 256, 128):
         if lq % bq != 0:
             continue

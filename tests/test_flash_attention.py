@@ -72,6 +72,30 @@ def test_packed_forward_matches_xla(h, lq, lk, d):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_dispatch_pins():
+    """Pin the measured-on-v5e dispatch decisions (see ARCHITECTURE.md §8):
+    512-row forward q-blocks at the 4096-token level (Mosaic reuses the
+    score buffer; 1024 exceeds VMEM), 256-row backward blocks, and both
+    rejected kernel experiments defaulting OFF."""
+    # forward: one live score buffer -> 512-row blocks at SD level-0 shapes
+    assert fa._pick_block_q(4096, 4096, 40, n_score_bufs=1) == 512
+    assert fa._pick_block_q(4096, 4224, 40, n_score_bufs=1) == 512
+    # backward: four live score-sized buffers (chunked KV) -> 256
+    assert fa._pick_block_q(4096, 512, 40, n_score_bufs=4) == 256
+    # rejected experiments stay opt-in
+    q = jnp.zeros((1, 8, 4096, 40))
+    assert not fa._use_packed(q)
+    qf = jnp.zeros((1, 1024, 640))
+    kf = jnp.zeros((1, 77, 640))
+    assert not fa._fusedheads_supported(qf, kf, 8)
+    # cross-attention (77-token KV) stays on the XLA path per measurement
+    k77 = jnp.zeros((1, 8, 77, 40))
+    assert not fa._kernel_supported(q, k77)
+    # 4096-token self/fuser attention rides the pallas kernel
+    k4126 = jnp.zeros((1, 8, 4126, 40))
+    assert fa._kernel_supported(q, k4126)
+
+
 @pytest.mark.parametrize("h,lq,lk,d", [
     (8, 512, 512, 40),     # self-attention, aligned
     (8, 512, 542, 40),     # GLIGEN fuser KV (visual + grounding tokens)
