@@ -116,10 +116,16 @@ def mask_to_box_mask(mask: np.ndarray) -> np.ndarray:
 
 
 def mask_center(mask: np.ndarray, normalize: bool = False):
-    """Mass center (x, y) of a binary/soft mask."""
+    """Mass center (x, y) of a binary/soft mask.
+
+    An all-zero mask (degenerate segmentation) returns the geometric center
+    rather than NaN; the resulting alignment shift is harmless because an
+    empty mask contributes nothing to latent composition."""
     mask = np.asarray(mask, dtype=np.float64)
     h, w = mask.shape
     total = mask.sum()
+    if total == 0:
+        return (0.5, 0.5) if normalize else ((w - 1) / 2, (h - 1) / 2)
     x = float(mask.sum(axis=0) @ np.arange(w)) / total
     y = float(mask.sum(axis=1) @ np.arange(h)) / total
     if normalize:

@@ -148,11 +148,19 @@ def add_noise(schedule: Schedule, x0: jnp.ndarray, noise: jnp.ndarray,
     return out.astype(x0.dtype)
 
 
-def guidance_step_size(schedule: Schedule, t: jnp.ndarray) -> jnp.ndarray:
-    """Step-size factor for energy-guidance latent updates with a DDIM
-    (sigma-less) schedule: sqrt(1 - alpha_cumprod[t]), the classifier-guidance
-    scaling (reference models/pipelines.py:60-69)."""
-    return jnp.sqrt(1.0 - _alpha_at(schedule, t))
+def guidance_step_size(schedule: Schedule, t: jnp.ndarray,
+                       solver: str = "ddim") -> jnp.ndarray:
+    """Step-size factor for energy-guidance latent updates.
+
+    DDIM (sigma-less scheduler): sqrt(1 - alpha_cumprod[t]), the
+    classifier-guidance scaling (reference models/pipelines.py:64-69).
+    dpmpp_2m (DPMSolverMultistep): the reference uses scheduler.sigmas[i]**2
+    when the scheduler carries sigmas (models/pipelines.py:60-63); diffusers
+    defines sigma_t = sqrt((1-acp)/acp), so the factor is (1-acp)/acp."""
+    a = _alpha_at(schedule, t)
+    if solver == "dpmpp_2m":
+        return (1.0 - a) / jnp.maximum(a, 1e-10)
+    return jnp.sqrt(1.0 - a)
 
 
 def _alpha_sigma_lambda(schedule: Schedule, t: jnp.ndarray):

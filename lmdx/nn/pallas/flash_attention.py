@@ -47,7 +47,14 @@ def _pick_block_q(lq: int, lk_pad: int = 0, d: int = 0,
     measured: block_q 512 at lk 4224 compiles and runs ~6% faster than 256,
     1024 exceeds VMEM), 4 for the backward (s/p, dp, ds + headroom). The
     budget stays below the 16M scoped-VMEM limit to leave room for
-    double-buffered in/out blocks and layout copies."""
+    double-buffered in/out blocks and layout copies.
+
+    FAILURE MODE: the forward's 11 MiB budget with n_score_bufs=1 relies on
+    Mosaic reusing s's buffer for p. If a future JAX/Mosaic version stops
+    doing that liveness reuse, 512-row q-blocks become a hard compile-time
+    "scoped vmem limit exceeded" error (not a wrong result). Fix: bump
+    n_score_bufs to 2 at the forward call sites (reverting to 256-row
+    blocks, ~6% slower) — grep for n_score_bufs=1."""
     budget = (3 if n_score_bufs >= 4 else 11) * 1024 * 1024
     for bq in (512, 256, 128):
         if lq % bq != 0:

@@ -503,7 +503,9 @@ def convert_sam(sd: dict, config: SamConfig) -> dict:
     decoder = {
         "iou_token": sd[f"{md}.iou_token.weight"],
         "mask_tokens": sd[f"{md}.mask_tokens.weight"],
-        "layer_norm_final": _norm(sd, f"{md}.layer_norm_final_attn"),
+        # transformers nests this under mask_decoder.transformer (caught by
+        # the sam_vit_base manifest test).
+        "layer_norm_final": _norm(sd, f"{md}.transformer.layer_norm_final_attn"),
         "final_attn_token_to_image": dec_attn(
             f"{md}.transformer.final_attn_token_to_image"),
         "upscale_conv1": {

@@ -299,6 +299,71 @@ def convert_vae(sd: dict, config: SDConfig) -> dict:
     }
 
 
+MANIFEST_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "manifests")
+
+# checkpoint component -> manifest file, per SD model key.
+_COMPONENT_MANIFESTS = {
+    "runwayml/stable-diffusion-v1-5": {
+        "unet": "unet_sd15", "text_encoder": "text_encoder_clip_vit_l",
+        "vae": "vae_sd"},
+    "CompVis/stable-diffusion-v1-4": {
+        "unet": "unet_sd15", "text_encoder": "text_encoder_clip_vit_l",
+        "vae": "vae_sd"},
+    "gligen/diffusers-generation-text-box": {
+        "unet": "unet_gligen", "text_encoder": "text_encoder_clip_vit_l",
+        "vae": "vae_sd"},
+}
+
+# Keys that may legitimately differ from the manifest: buffer tensors some
+# transformers versions persist, and the two VAE attention naming eras.
+_IGNORABLE_SUBSTRINGS = ("position_ids",)
+_VAE_ERA_RENAMES = {"to_q": "query", "to_k": "key", "to_v": "value",
+                    "to_out.0": "proj_attn"}
+
+
+def validate_checkpoint(model_key: str, checkpoint_dir: str) -> dict:
+    """Diff a checkpoint directory against the checked-in manifests.
+
+    Returns {component: {"missing": [...], "extra": [...], "shape": [...]}}
+    with empty lists on a clean match. The VAE check accepts both attention
+    naming eras (pre/post diffusers 0.20)."""
+    import json
+
+    manifests = _COMPONENT_MANIFESTS.get(model_key)
+    if manifests is None:
+        raise KeyError(f"no manifests for model key {model_key!r}; known: "
+                       f"{sorted(_COMPONENT_MANIFESTS)}")
+    report = {}
+    for component, manifest_name in manifests.items():
+        manifest = json.load(
+            open(os.path.join(MANIFEST_DIR, f"{manifest_name}.json")))
+        sd = _load_state_dict(os.path.join(checkpoint_dir, component))
+        actual = {}
+        for k, v in sd.items():
+            if any(s in k for s in _IGNORABLE_SUBSTRINGS):
+                continue
+            if component == "vae":
+                for new, old in _VAE_ERA_RENAMES.items():
+                    marker = f".attentions.0.{new}."
+                    if marker in k:
+                        k = k.replace(marker, f".attentions.0.{old}.")
+                        break
+                # modern-era to_q etc. store (C, C); legacy proj_attn may be
+                # (C, C, 1, 1) — normalize for the shape compare
+                v = v.reshape(v.shape[0], -1) if ".attentions.0." in k and v.ndim == 4 else v
+            actual[k] = list(v.shape)
+        want = {k: v for k, v in manifest.items()
+                if not any(s in k for s in _IGNORABLE_SUBSTRINGS)}
+        report[component] = {
+            "missing": sorted(set(want) - set(actual)),
+            "extra": sorted(set(actual) - set(want)),
+            "shape": sorted(k for k in set(want) & set(actual)
+                            if want[k] != actual[k]),
+        }
+    return report
+
+
 def load_checkpoint(config: SDConfig, checkpoint_dir: str) -> dict:
     """Convert a diffusers checkpoint directory (unet/ vae/ text_encoder/)."""
     unet_sd = _load_state_dict(os.path.join(checkpoint_dir, "unet"))

@@ -44,19 +44,33 @@ class ModelBundle:
         return (1, self.config.latent_height, self.config.latent_width, 4)
 
 
+# Module names (substring match, lowercase) whose params must stay f32
+# because the layer computes in f32. Every f32-compute layer in the bundle's
+# modules (unet/clip/vae GroupNorm+LayerNorm) matches "norm"; any new
+# f32-compute layer added to the bundle must be named to match this list
+# (or the list extended), else its params get wrongly cast to bf16.
+_F32_PARAM_NAME_MARKERS = ("norm",)
+
+
 def cast_params_for_inference(params: dict, dtype) -> dict:
     """Store matmul/conv params in the compute dtype (norm params stay f32).
 
     Modules built with dtype=bfloat16 cast their f32 params to bf16 at every
-    use; storing them bf16 up front is bit-identical (same round-to-nearest
-    cast) while halving parameter HBM footprint and weight-read bandwidth.
-    Norm layers (GroupNorm/LayerNorm — every name contains "norm") compute in
-    f32, so their scale/bias stay f32."""
+    use; storing them bf16 up front is numerically equivalent for layers that
+    promote params to the compute dtype before use (the same round-to-nearest
+    cast happens either way). Layers that consume raw f32 params in f32
+    arithmetic before an explicit cast (e.g. CLIP position embeddings added
+    to token embeddings) can differ in the last bf16 bit. Norm layers compute
+    in f32, so their scale/bias stay f32 (see _F32_PARAM_NAME_MARKERS)."""
 
-    def walk(tree, in_norm):
+    def walk(tree, in_f32_layer):
         if isinstance(tree, dict):
-            return {k: walk(v, in_norm or "norm" in k) for k, v in tree.items()}
-        if in_norm or tree.dtype != jnp.float32:
+            return {
+                k: walk(v, in_f32_layer
+                        or any(m in k.lower() for m in _F32_PARAM_NAME_MARKERS))
+                for k, v in tree.items()
+            }
+        if in_f32_layer or tree.dtype != jnp.float32:
             return tree
         return tree.astype(dtype)
 
@@ -166,10 +180,23 @@ def load_bundle(
     if checkpoint_dir is not None:
         from . import convert
 
-        params = convert.load_checkpoint(config, checkpoint_dir)
         tok_dir = os.path.join(checkpoint_dir, "tokenizer")
         if os.path.exists(os.path.join(tok_dir, "vocab.json")):
             tokenizer = toklib.ClipBpeTokenizer.from_dir(tok_dir)
+        elif (config.clip.vocab_size >= toklib.BOS_ID
+              and not os.environ.get("LMDX_ALLOW_WORD_TOKENIZER")):
+            # Real-vocab weights with the hash-based WordTokenizer would
+            # silently scramble every prompt (ids are md5 hashes, not CLIP
+            # BPE ids). Hard-fail rather than generate garbage. Checked
+            # before the param load so the error is immediate.
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} has no tokenizer/vocab.json; "
+                "refusing to pair converted real-vocab weights with the "
+                "hash-based WordTokenizer. Copy the CLIP tokenizer files "
+                "(vocab.json + merges.txt) into <checkpoint>/tokenizer/, or "
+                "set LMDX_ALLOW_WORD_TOKENIZER=1 to override for debugging."
+            )
+        params = convert.load_checkpoint(config, checkpoint_dir)
     else:
         params = init_random_params(config, seed=seed)
 
@@ -206,14 +233,17 @@ def encode_text(bundle: ModelBundle, texts: list[str]):
         + [[bundle.tokenizer.eos_id] * toklib.MAX_LENGTH] * (_bucket(n) - n),
         np.int32,
     )
-    # Fold ids into the model's vocab: out-of-range embedding lookups fill
-    # with NaN in jax. Only reduced-vocab test configs are affected — real
-    # CLIP vocabs cover every tokenizer id.
+    # Reduced-vocab test configs only: fold ids into the model's vocab
+    # (out-of-range embedding lookups fill with NaN in jax). Real CLIP
+    # vocabs (>= BOS_ID entries) cover every tokenizer id, and folding
+    # there would scramble prompts — so it is gated, not unconditional.
     vocab = bundle.config.clip.vocab_size
-    ids = ids % vocab
+    eos_id = bundle.tokenizer.eos_id
+    if vocab < toklib.BOS_ID:
+        ids = ids % vocab
+        eos_id = eos_id % vocab
     hidden, pooled = _text_apply(
-        bundle.text_encoder, bundle.params["text"], jnp.asarray(ids),
-        bundle.tokenizer.eos_id % vocab,
+        bundle.text_encoder, bundle.params["text"], jnp.asarray(ids), eos_id,
     )
     return hidden[:n].astype(jnp.float32), pooled[:n].astype(jnp.float32)
 

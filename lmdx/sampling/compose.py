@@ -143,6 +143,11 @@ def aggregate_token_attention(taps_stack, start_step: int = 10):
     stack = np.asarray(taps_stack)
     if stack.ndim == 5:
         stack = stack[:, 0, :, :, 0]      # (T, heads, n)
+    # Clamp so at least the final step contributes — short (truncated/test)
+    # schedules with start_step >= T would otherwise average zero steps and
+    # poison mask extraction with NaNs. At the reference settings (50 steps,
+    # start 10) this is a no-op.
+    start_step = min(start_step, stack.shape[0] - 1)
     attn = stack[start_step:].mean(axis=0).mean(axis=0)  # (n,)
     hw = int(round(attn.shape[0] ** 0.5))
     return attn.reshape(hw, hw)

@@ -123,7 +123,8 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
             elif static.guidance_batched:
                 latents, loss = guidance_lib.guidance_update_batched(
                     unet_taps, latents, loss,
-                    step_size=sched.guidance_step_size(schedule, t),
+                    step_size=sched.guidance_step_size(
+                        schedule, t, solver=static.solver),
                     max_iter=x["max_iter"],
                     data=consts["guidance_data"], spec=static.spec,
                     ref_taps=x.get("ref"),
@@ -131,7 +132,8 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
             else:
                 latents, loss = guidance_lib.guidance_update(
                     unet_taps, latents, loss,
-                    step_size=sched.guidance_step_size(schedule, t),
+                    step_size=sched.guidance_step_size(
+                        schedule, t, solver=static.solver),
                     max_iter=x["max_iter"],
                     data=consts["guidance_data"], spec=static.spec,
                     ref_taps=x.get("ref"),

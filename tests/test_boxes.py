@@ -110,3 +110,12 @@ def test_expand_overall_bboxes():
 def test_box_iou_xyxy():
     assert boxlib.box_iou_xyxy((0, 0, 2, 2), (1, 1, 3, 3)) == pytest.approx(1 / 7)
     assert boxlib.box_iou_xyxy((0, 0, 1, 1), (2, 2, 3, 3)) == 0.0
+
+
+def test_mask_center_empty_mask_no_nan():
+    """Degenerate all-zero masks return the geometric center, not NaN
+    (guards trajectory alignment against empty segmentations)."""
+    x, y = boxlib.mask_center(np.zeros((8, 8)), normalize=True)
+    assert (x, y) == (0.5, 0.5)
+    x, y = boxlib.mask_center(np.zeros((8, 8)))
+    assert (x, y) == (3.5, 3.5)

@@ -141,6 +141,7 @@ def tiny_params():
     return cfg, init_random_params(cfg, seed=3)
 
 
+@pytest.mark.slow
 def test_unet_roundtrip(tiny_params):
     cfg, params = tiny_params
     sd = {}
@@ -154,6 +155,7 @@ def test_unet_roundtrip(tiny_params):
                            params["position_net"], pn)
 
 
+@pytest.mark.slow
 def test_text_roundtrip(tiny_params):
     cfg, params = tiny_params
     sd = {}
@@ -163,6 +165,7 @@ def test_text_roundtrip(tiny_params):
                            converted)
 
 
+@pytest.mark.slow
 def test_vae_roundtrip(tiny_params):
     cfg, params = tiny_params
     sd = {}
@@ -172,6 +175,7 @@ def test_vae_roundtrip(tiny_params):
                            converted)
 
 
+@pytest.mark.slow
 def test_converted_params_drive_modules(tiny_params):
     cfg, params = tiny_params
     sd = {}
@@ -185,3 +189,16 @@ def test_converted_params_drive_modules(tiny_params):
         jnp.zeros((1, 77, cfg.unet.cross_attention_dim)),
     )
     assert out.shape == (1, h, h, 4)
+
+
+def test_word_tokenizer_guard_fires(tmp_path, monkeypatch):
+    """Converted real-vocab weights + no tokenizer dir must hard-fail, not
+    silently fall back to the hash-based WordTokenizer (runtime/models.py)."""
+    from lmdx.runtime import models as runtime_models
+
+    monkeypatch.delenv("LMDX_ALLOW_WORD_TOKENIZER", raising=False)
+    ckpt = tmp_path / "sd15"
+    ckpt.mkdir()
+    with pytest.raises(ValueError, match="WordTokenizer"):
+        runtime_models.load_bundle.__wrapped__(
+            "runwayml/stable-diffusion-v1-5", checkpoint_dir=str(ckpt))

@@ -54,6 +54,7 @@ def test_param_spec_rules(tiny_setup):
     assert convs and all(flat[k] == P() for k in convs)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(tiny_setup):
     _, unet, params, batch = tiny_setup
     schedule = sched.make_schedule(50)
@@ -85,6 +86,7 @@ def test_sharded_train_step_matches_single_device(tiny_setup):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_adapter_mask_freezes_backbone(tiny_setup):
     _, unet, params, batch = tiny_setup
     schedule = sched.make_schedule(50)
@@ -111,12 +113,14 @@ def test_adapter_mask_freezes_backbone(tiny_setup):
     assert changed_alphas > 0
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     import __graft_entry__ as ge
 
@@ -125,6 +129,7 @@ def test_graft_entry_single():
     assert out.shape == args[1].shape
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     from lmdx.training import checkpoint as ckpt
 
@@ -144,6 +149,7 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     assert ckpt.latest_step_dir(str(tmp_path)).endswith("step_1")
 
 
+@pytest.mark.slow
 def test_dp_sharded_sampling_matches_single_device(tiny_setup):
     """Inference scale-out: the jitted sampler with dp-sharded inputs must
     reproduce single-device results (GSPMD propagates the batch sharding)."""

@@ -22,6 +22,7 @@ def test_forward_matches_xla(lq, lk, d):
 
 
 @pytest.mark.parametrize("lq,lk,d", [(256, 256, 32), (256, 260, 32)])
+@pytest.mark.slow
 def test_backward_matches_xla(lq, lk, d):
     """The blockwise flash backward must match the XLA attention VJP."""
     q = jax.random.normal(jax.random.key(0), (1, 2, lq, d), jnp.float32)
@@ -49,6 +50,7 @@ def test_backward_matches_xla(lq, lk, d):
     (6, 1024, 1024, 40),    # even head-group count
     (4, 1024, 1024, 64),    # pack-2 regime
 ])
+@pytest.mark.slow
 def test_packed_forward_matches_xla(h, lq, lk, d):
     """Head-packed kernel (block-diag QK/AV, online softmax) == XLA."""
     q = jax.random.normal(jax.random.key(0), (2, h, lq, d), jnp.float32)
@@ -103,6 +105,7 @@ def test_dispatch_pins():
     (8, 256, 77, 80),      # level-1 cross
     (4, 300, 77, 64),      # unaligned query length
 ])
+@pytest.mark.slow
 def test_fusedheads_matches_xla(h, lq, lk, d):
     """Fused-heads kernel on (B, L, h*d) projection-layout tensors == XLA,
     and its LSE drives the per-head flash backward exactly."""
@@ -133,10 +136,17 @@ def test_fusedheads_matches_xla(h, lq, lk, d):
 
 
 @pytest.mark.parametrize("lq,lk,d", [(1024, 1054, 40)])
+@pytest.mark.slow
 def test_fuser_shaped_unaligned_kv(lq, lk, d):
     """GLIGEN-fuser-like KV (visual + grounding tokens, not a 128-multiple):
     the plain kernels take K/V unpadded (partial Pallas edge block with
-    in-VMEM tail zeroing) — fwd and bwd must still match XLA."""
+    in-VMEM tail zeroing) — fwd and bwd must still match XLA.
+
+    CAVEAT: interpret mode pads partial edge blocks with *defined* values,
+    so this test cannot reproduce the undefined-VMEM-tail NaN hazard that
+    _zero_tail_rows guards against on real hardware. The on-TPU verify run
+    (.claude/skills/verify — fuser-shaped microbench) is the gate for that
+    path; a regression there shows as NaNs in the fuser segment."""
     q = jax.random.normal(jax.random.key(0), (1, 4, lq, d), jnp.float32)
     k = jax.random.normal(jax.random.key(1), (1, 4, lk, d), jnp.float32)
     v = jax.random.normal(jax.random.key(2), (1, 4, lk, d), jnp.float32)
@@ -155,6 +165,7 @@ def test_fuser_shaped_unaligned_kv(lq, lk, d):
 
 
 @pytest.mark.parametrize("lq,lk,d", [(300, 330, 32)])
+@pytest.mark.slow
 def test_unaligned_query_length(lq, lk, d):
     """Non-128-multiple query lengths pad internally, fwd and bwd."""
     q = jax.random.normal(jax.random.key(0), (1, 2, lq, d), jnp.float32)

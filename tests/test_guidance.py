@@ -146,3 +146,15 @@ def test_guidance_update_reduces_loss_and_respects_max_iter():
         max_iter=jnp.int32(5), data=data, spec=spec_hi,
     )
     np.testing.assert_array_equal(np.asarray(lat_stop), np.asarray(lat0))
+
+
+def test_aggregate_token_attention_clamps_start_step():
+    """start_step >= T must fall back to the final step instead of averaging
+    zero steps into NaNs (short truncated/test schedules)."""
+    from lmdx.sampling import compose as compose_lib
+
+    taps = np.random.RandomState(0).rand(4, 1, 2, 16, 1)
+    out = compose_lib.aggregate_token_attention(taps, start_step=10)
+    assert not np.isnan(out).any()
+    expected = taps[3, 0, :, :, 0].mean(axis=0).reshape(4, 4)
+    np.testing.assert_allclose(out, expected, rtol=1e-6)

@@ -60,6 +60,7 @@ def test_frozen_mask_pins_latents(setup):
     assert np.abs(np.asarray(out.all_latents[1])[:, :, 4:] - np.asarray(traj[1])[:, :, 4:]).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_saved_taps_shapes(setup):
     unet, params, schedule, lat0, text_emb = setup
     out = sample(
@@ -72,6 +73,7 @@ def test_saved_taps_shapes(setup):
     assert taps.shape == (4, 1, 2, 16, 1)
 
 
+@pytest.mark.slow
 def test_gligen_fuser_segments(setup):
     unet, params, schedule, lat0, text_emb = setup
     M = CFG.unet.gligen_max_objs

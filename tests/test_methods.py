@@ -12,6 +12,10 @@ import pytest
 from lmdx import methods
 from lmdx.runtime import models as runtime_models
 
+# Every test here jit-compiles at least one full sampler scan (tens of
+# seconds each on this host); the whole module is the slow tier.
+pytestmark = pytest.mark.slow
+
 SPEC = {
     "prompt": "A realistic scene with a red cube and a blue ball",
     "gen_boxes": [

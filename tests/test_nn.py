@@ -64,6 +64,7 @@ def test_unet_taps_cond_only_single_token(unet_and_params):
     assert taps[("down", 0, 0, 0)].shape == (1, 2, 64, 1)
 
 
+@pytest.mark.slow
 def test_unet_grad_through_taps(unet_and_params):
     """The guidance pattern: grad of a loss on tapped attention probs w.r.t.
     the input latents must be nonzero and finite."""
@@ -85,6 +86,7 @@ def test_unet_grad_through_taps(unet_and_params):
     assert jnp.abs(grad).max() > 0
 
 
+@pytest.mark.slow
 def test_unet_fuser_gate_toggles_gligen(unet_and_params):
     unet, params = unet_and_params
     latents = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
@@ -156,6 +158,7 @@ def test_clip_causal_mask():
     assert np.abs(np.asarray(h1[0, 4]) - np.asarray(h2[0, 4])).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes():
     vae = AutoencoderKL(CFG.vae)
     images = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
@@ -186,6 +189,7 @@ def test_flash_attention_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_stop_after_taps_matches_full_forward():
     """Early-exit guidance forwards must produce identical tap maps."""
     import numpy as np

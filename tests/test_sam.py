@@ -20,6 +20,7 @@ def tiny():
     return cfg, model, params
 
 
+@pytest.mark.slow
 def test_sam_shapes(tiny):
     cfg, model, params = tiny
     px = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
@@ -32,6 +33,7 @@ def test_sam_shapes(tiny):
     assert np.isfinite(np.asarray(masks)).all()
 
 
+@pytest.mark.slow
 def test_sam_segmenter_in_refine_path(tiny):
     cfg, _, params = tiny
     seg = samlib.FlaxSamSegmenter(params, cfg)
@@ -98,7 +100,8 @@ def _export_sam(params):
     dec = params["mask_decoder"]
     sd["mask_decoder.iou_token.weight"] = np.asarray(dec["iou_token"])
     sd["mask_decoder.mask_tokens.weight"] = np.asarray(dec["mask_tokens"])
-    norm("mask_decoder.layer_norm_final_attn", dec["layer_norm_final"])
+    norm("mask_decoder.transformer.layer_norm_final_attn",
+         dec["layer_norm_final"])
     for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
         lin(f"mask_decoder.transformer.final_attn_token_to_image.{n}",
             dec["final_attn_token_to_image"][n])

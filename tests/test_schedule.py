@@ -120,6 +120,7 @@ def test_dpmpp_2m_noise_free_invariant():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dpmpp_2m_end_to_end_sampling():
     """Sampling with the dpmpp_2m solver runs and differs from ddim."""
     import jax
@@ -143,3 +144,21 @@ def test_dpmpp_2m_end_to_end_sampling():
     a, b = np.asarray(out_ddim.latents), np.asarray(out_dpm.latents)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert not np.allclose(a, b)
+
+
+def test_guidance_step_size_solver_dependence():
+    """Reference parity: under DPMSolverMultistep the guidance latent update
+    is scaled by scheduler.sigmas[i]**2 = (1-acp)/acp (reference
+    models/pipelines.py:60-63); under DDIM by sqrt(1-acp) (:64-69)."""
+    s = sched.make_schedule(50)
+    for t in (s.timesteps[0], s.timesteps[25], s.timesteps[-1]):
+        acp = float(s.alphas_cumprod[int(t)])
+        ddim = float(sched.guidance_step_size(s, t))
+        dpm = float(sched.guidance_step_size(s, t, solver="dpmpp_2m"))
+        np.testing.assert_allclose(ddim, (1 - acp) ** 0.5, rtol=1e-6)
+        np.testing.assert_allclose(dpm, (1 - acp) / acp, rtol=1e-6)
+    # At high noise (t=981, acp≈0.0047) sigma^2 is ~200x the ddim factor —
+    # the two conventions are materially different, not a cosmetic switch.
+    t0 = s.timesteps[0]
+    assert float(sched.guidance_step_size(s, t0, solver="dpmpp_2m")) > (
+        50 * float(sched.guidance_step_size(s, t0)))
