@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image-batch-size", default=1, type=int,
                         help="lmd_plus only: generate N prompts per batched "
                              "pipeline invocation (throughput mode)")
+    parser.add_argument("--mesh", default=None,
+                        help="shard the batched pipeline over a device mesh: "
+                             "'auto' (dp=all devices), 'dp=N', or 'dp=N,tp=M'."
+                             " Replaces the reference's process-level prompt "
+                             "sharding; use with --image-batch-size >= dp")
     parser.add_argument("--use-sdv2", action="store_true")
     parser.add_argument("--sd-model", default=None,
                         help="explicit SD config key override (e.g. tiny-test)")
@@ -163,6 +168,17 @@ def main(argv=None) -> int:
         from ..runtime.models import load_bundle
 
         bundle = load_bundle(select_model_key(args))
+        if args.mesh is not None:
+            from ..dist import serve as serve_lib
+
+            mesh, bundle = serve_lib.activate_mesh(
+                bundle, **serve_lib.parse_mesh_arg(args.mesh))
+            print(f"mesh: {dict(mesh.shape)} over "
+                  f"{mesh.devices.size} devices")
+            if mesh.shape["dp"] > 1 and args.image_batch_size < mesh.shape["dp"]:
+                print(f"NOTE: dp={mesh.shape['dp']} but --image-batch-size="
+                      f"{args.image_batch_size}; dp sharding only pays off "
+                      "when the image batch divides by dp")
         if args.sam_checkpoint:
             from ..nn import sam as samlib
             from ..runtime.convert import _load_state_dict
@@ -179,8 +195,8 @@ def main(argv=None) -> int:
         sdxl_refiner = sdxl_refine
 
     if args.image_batch_size > 1:
-        assert args.run_model == "lmd_plus", \
-            "--image-batch-size needs --run-model lmd_plus"
+        assert args.run_model in ("lmd", "lmd_plus"), \
+            "--image-batch-size needs --run-model lmd or lmd_plus"
         assert args.regenerate == 1
         return run_batched(args, run_kwargs, cache, prompts, save_dir,
                            bundle, segmenter, sdxl_refiner)
@@ -299,9 +315,13 @@ def main(argv=None) -> int:
 def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 segmenter, sdxl_refiner) -> int:
     """Throughput mode: group pending (prompt, repeat) jobs into batches of
-    --image-batch-size and run them through the multi-image LMD+ pipeline
-    (lmdx.methods.batch). Resume/seed semantics match the sequential loop."""
-    from ..methods.batch import run_lmd_plus_batch
+    --image-batch-size and run them through the multi-image LMD / LMD+
+    pipeline (lmdx.methods.batch). Resume/seed semantics match the
+    sequential loop."""
+    from ..methods.batch import run_lmd_batch, run_lmd_plus_batch
+
+    run_batch_fn = (run_lmd_plus_batch if args.run_model == "lmd_plus"
+                    else run_lmd_batch)
 
     scale_boxes_default = not args.no_scale_boxes_default
     jobs = []
@@ -352,7 +372,7 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
     for start in range(0, len(jobs), args.image_batch_size):
         group = jobs[start : start + args.image_batch_size]
         try:
-            results = run_lmd_plus_batch(
+            results = run_batch_fn(
                 [j["spec"] for j in group], bundle,
                 bg_seeds=[j["bg_seed"] for j in group],
                 fg_seed_starts=[j["fg_seed_start"] for j in group],

@@ -1,4 +1,4 @@
-"""Multi-image batched grounded generation (LMD+ serving path).
+"""Multi-image batched grounded generation (LMD / LMD+ serving path).
 
 The reference generates one image at a time; per-chip throughput is then
 bounded by batch-1 latency (the guidance loop at batch 1 measures ~5%% MXU
@@ -6,23 +6,31 @@ utilization). Here G independent prompts ride the pipeline together:
 
 - ALL boxes of ALL images run as one batched per-box pass (sum of box
   counts), each box with its own image's uncond embedding, noise seeds,
-  GLIGEN slot, and tap token;
+  GLIGEN slot (LMD+), per-box CA guidance data (LMD), and tap token;
 - composition/masking stay per-image on the host (cheap);
 - the G overall passes run as one batched pass: per-image frozen masks and
   trajectories, per-image GLIGEN grounding, and *batched* CA-energy guidance
   (per-image loss vector; converged images freeze inside the while_loop —
   semantics identical to G sequential runs).
 
-Requires per-box guidance disabled (LMD+'s default, max_index_step = 0).
+Both flagship regimes are served: `run_lmd_plus_batch` (GLIGEN adapters,
+per-box guidance off) and `run_lmd_batch` (training-free, per-box guidance
+riding the same batched guidance loop — each box converges independently).
+
+When a device mesh is active (dist/serve.py), batch inputs are placed with
+the image/box axis sharded over the "dp" mesh axis, replacing the
+reference's process-level prompt sharding (reference generate.py:23-25).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import boxes as boxlib
 from ..core import schedule as sched
+from ..dist import serve as serve_lib
 from ..runtime import models as runtime_models
 from ..sampling import compose as compose_lib
 from ..sampling import guidance as guidance_lib
@@ -51,9 +59,9 @@ def run_grounded_batch(
     segmenter: masking.Segmenter | None = None,
     return_so_images: bool = False,
 ) -> list[base.GenerationResult]:
-    assert p.use_gligen and p.max_index_step == 0, (
-        "batched grounded generation requires the LMD+ regime "
-        "(per-box guidance disabled)")
+    assert not p.use_fast_schedule, (
+        "batched grounded generation does not support the truncated fast "
+        "schedule (per-image schedules would break the shared scan)")
     cfg = bundle.config
     H, W = cfg.latent_height, cfg.latent_width
     latent_hw = (H, W)
@@ -65,6 +73,15 @@ def run_grounded_batch(
     segmenter = segmenter or masking.CoarseSegmenter()
     refine_cfg = masking.RefineConfig(use_box_input=p.use_box_input,
                                       mask_th_for_point=p.mask_th_for_point)
+
+    # Mesh serving (dist/serve.py): when a mesh is active, batch inputs are
+    # placed with their image/box axis sharded over "dp" and GSPMD carries
+    # the layout through the jitted sampler scans. Identity when no mesh.
+    def shard0(x):
+        return serve_lib.shard_leading_axis(x, axis=0)
+
+    def shard1(x):
+        return serve_lib.shard_leading_axis(x, axis=1)
 
     g_count = len(specs)
     bg_seeds = bg_seeds or [p.bg_seed + i for i in range(g_count)]
@@ -100,7 +117,10 @@ def run_grounded_batch(
     n_total = len(flat)
     save_keys = tuple(dict.fromkeys((p.obj_attn_key, *p.guidance_attn_keys))) \
         if p.use_ref_ca else (p.obj_attn_key,)
-    fuser_steps = int(p.so_gligen_scheduled_sampling_beta * schedule.num_steps)
+    fuser_steps = (int(p.so_gligen_scheduled_sampling_beta * schedule.num_steps)
+                   if p.use_gligen else 0)
+    so_spec = _make_guidance_spec(p, overall=False)
+    use_so_guidance = so_spec.max_index_step > 0
 
     latents_bg_per_image = []
     if n_total:
@@ -129,15 +149,42 @@ def run_grounded_batch(
             for _, item in flat
         ], np.int32)
 
-        gligen_inputs = base.make_gligen_inputs_batched(
-            bundle, [item[3] for _, item in flat],
-            [item[1] for _, item in flat])
+        gligen_inputs = (
+            base.make_gligen_inputs_batched(
+                bundle, [item[3] for _, item in flat],
+                [item[1] for _, item in flat])
+            if p.use_gligen else None
+        )
+
+        # LMD regime: per-box CA guidance rides the batched guidance loop —
+        # every box is an independent "image" with its own single-box
+        # GuidanceData; converged boxes freeze individually (exactly the
+        # sequential semantics of _grounded.py:233-243 across all images).
+        so_data = None
+        if use_so_guidance:
+            so_datas = []
+            for _, (prompt, phrase, word, box) in flat:
+                indices = toklib.get_phrase_indices(
+                    bundle.tokenizer, prompt, [phrase], words=[word])
+                so_datas.append(guidance_lib.make_guidance_data(
+                    [box], indices.object_positions, so_spec, latent_hw,
+                    num_levels, max_objs=1))
+            so_data = jax.tree_util.tree_map(
+                shard0, guidance_lib.stack_guidance_data(so_datas))
 
         out = sample(
             bundle.unet, bundle.params["unet"], schedule,
-            jnp.concatenate(per_box_latents, axis=0), text_embeddings,
+            shard0(jnp.concatenate(per_box_latents, axis=0)),
+            shard0(text_embeddings),
+            cond_embeddings=shard0(cond) if use_so_guidance else None,
             guidance_scale=p.guidance_scale,
-            gligen=gligen_inputs, num_fuser_steps=fuser_steps,
+            spec=so_spec if use_so_guidance else None,
+            guidance_data=so_data,
+            guidance_batched=use_so_guidance,
+            max_iter=p.max_iter,
+            gligen=(tuple(shard0(g) for g in gligen_inputs)
+                    if gligen_inputs is not None else None),
+            num_fuser_steps=fuser_steps,
             save_all_latents=True, save_keys=save_keys,
             save_cond_only=True, save_single_token=True,
             tap_token_index=word_token_indices, solver=p.scheduler,
@@ -150,12 +197,17 @@ def run_grounded_batch(
         # shift is needed (LMD+ default): downloading+re-uploading them costs
         # ~100 MB of tunnel traffic per 4-image batch.
         on_device = not p.align_with_overall_bboxes
+        obj_taps_np = None
         if on_device:
             all_latents_dev = out.all_latents
             taps_dev = out.saved_taps
+            if not p.use_gligen:
+                # LMD masks come from aggregated attention (host-side).
+                obj_taps_np = np.asarray(out.saved_taps[p.obj_attn_key])
         else:
             all_latents_np = np.asarray(out.all_latents)
             taps_np = {k: np.asarray(v) for k, v in out.saved_taps.items()}
+            obj_taps_np = taps_np[p.obj_attn_key]
     else:
         for im in images:
             latents_bg_per_image.append(np.asarray(
@@ -174,11 +226,25 @@ def run_grounded_batch(
         idxs = list(range(flat_idx, flat_idx + n_i))
         flat_idx += n_i
 
-        mask_list = [
-            masking.refine_mask_from_box(
-                so_list[j][3], so_images[bi], latent_hw, segmenter, refine_cfg)
-            for j, bi in enumerate(idxs)
-        ]
+        if p.use_gligen:
+            # LMD+: the box itself prompts the segmenter (sam.py:182-213).
+            mask_list = [
+                masking.refine_mask_from_box(
+                    so_list[j][3], so_images[bi], latent_hw, segmenter,
+                    refine_cfg)
+                for j, bi in enumerate(idxs)
+            ]
+        else:
+            # LMD: aggregated word-token attention prompts the segmenter
+            # (reference lmd.py:124-147).
+            mask_list = [
+                masking.refine_mask_from_attn(
+                    compose_lib.aggregate_token_attention(
+                        obj_taps_np[:, bi : bi + 1],
+                        start_step=p.attn_aggregation_step_start),
+                    so_images[bi], latent_hw, segmenter, refine_cfg)
+                for bi in idxs
+            ]
 
         if n_i and on_device:
             composed_latents, fg_idx = _compose_device(
@@ -262,18 +328,24 @@ def run_grounded_batch(
             for k in ref_list[0]       # (T, G, Bx, heads, n)
         }
 
-    gligen_inputs = _overall_gligen_batched(bundle, images)
+    gligen_inputs = (_overall_gligen_batched(bundle, images)
+                     if p.use_gligen else None)
+    frozen_latents = shard1(frozen_latents)
+    if ref_batched is not None:
+        ref_batched = {k: shard1(v) for k, v in ref_batched.items()}
     out = sample(
         bundle.unet, bundle.params["unet"], schedule,
-        frozen_latents[0], text_embeddings,
-        cond_embeddings=cond,
+        frozen_latents[0], shard0(text_embeddings),
+        cond_embeddings=shard0(cond),
         guidance_scale=p.guidance_scale,
-        spec=overall_spec, guidance_data=data_batched,
+        spec=overall_spec,
+        guidance_data=jax.tree_util.tree_map(shard0, data_batched),
         max_iter=p.overall_max_iter, ref_taps=ref_batched,
-        gligen=gligen_inputs,
-        num_fuser_steps=int(p.overall_gligen_scheduled_sampling_beta
-                            * schedule.num_steps),
-        frozen_mask=frozen_mask, frozen_latents=frozen_latents,
+        gligen=(tuple(shard0(g) for g in gligen_inputs)
+                if gligen_inputs is not None else None),
+        num_fuser_steps=(int(p.overall_gligen_scheduled_sampling_beta
+                             * schedule.num_steps) if p.use_gligen else 0),
+        frozen_mask=shard0(frozen_mask), frozen_latents=frozen_latents,
         num_frozen_steps=frozen_steps,
         guidance_batched=True, solver=p.scheduler,
     )
@@ -401,6 +473,31 @@ def _overall_gligen_batched(bundle, images):
     masks2 = np.concatenate([np.zeros_like(masks), masks], axis=0)
     objs_full = runtime_models.gligen_objs(bundle, boxes2, masks2, embs2)
     return objs_full, objs_full[g_count:]
+
+
+def run_lmd_batch(specs, bundle, segmenter=None, **overrides):
+    """Batched training-free LMD over a list of specs; one GenerationResult
+    per spec. Hyperparameters are shared across the batch (LMD defaults,
+    methods/lmd.py)."""
+    defaults = dict(
+        so_negative_prompt=DEFAULT_SO_NEGATIVE_PROMPT,
+        overall_negative_prompt=DEFAULT_OVERALL_NEGATIVE_PROMPT,
+        use_gligen=False,
+        max_index_step=30,
+        so_center_box=True,
+        so_horizontal_center_only=False,
+        fg_blending_ratio=0.01,
+        align_with_overall_bboxes=True,
+        horizontal_shift_only=False,
+    )
+    bg_seeds = overrides.pop("bg_seeds", None)
+    fg_seed_starts = overrides.pop("fg_seed_starts", None)
+    return_so_images = overrides.pop("return_so_images", False)
+    params = GroundedParams(**{**defaults, **overrides})
+    return run_grounded_batch(specs, bundle, params, bg_seeds=bg_seeds,
+                              fg_seed_starts=fg_seed_starts,
+                              segmenter=segmenter,
+                              return_so_images=return_so_images)
 
 
 def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):

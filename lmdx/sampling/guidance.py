@@ -377,9 +377,13 @@ def guidance_update_batched(
         return jnp.logical_and(active.any(), it < max_iter)
 
     def body(state):
-        lat, _, it = state
+        lat, per_prev, it = state
         (_, per), grad = grad_fn(lat)
-        active = (per / spec.loss_scale > spec.loss_threshold)
+        # Gate each image's update on the loss that governed loop ENTRY
+        # (the carried value), exactly like the sequential loop / reference
+        # (pipelines.py:20-30): once an iteration starts, the update applies
+        # unconditionally; the FRESH loss only decides the next iteration.
+        active = (per_prev / spec.loss_scale > spec.loss_threshold)
         lat = lat - grad * step_size * active[:, None, None, None]
         return (lat, per, it + 1)
 

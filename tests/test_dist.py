@@ -175,3 +175,58 @@ def test_dp_sharded_sampling_matches_single_device(tiny_setup):
     out = np.asarray(sample(unet, params_s, schedule, latents_s, te_s).latents)
 
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_batched_pipeline_under_mesh_matches_unsharded():
+    """The full batched LMD+ pipeline (per-box GLIGEN pass, composition,
+    frozen-mask overall pass with batched CA guidance) must produce the same
+    images with the image batch dp-sharded + params tp-sharded as without
+    any mesh — GSPMD layout is an implementation detail, not a semantic."""
+    from lmdx.dist import serve as serve_lib
+    from lmdx.methods.batch import run_lmd_plus_batch
+    from lmdx.runtime import models as runtime_models
+
+    bundle = runtime_models.load_bundle("tiny-test", seed=0)
+    spec = {
+        "prompt": "A realistic scene with a red cube and a blue ball",
+        "gen_boxes": [("a red cube", (50, 300, 120, 120)),
+                      ("a blue ball", (300, 280, 100, 100))],
+        "bg_prompt": "A realistic scene",
+        "extra_neg_prompt": "",
+    }
+    kwargs = dict(bg_seeds=[0, 1, 2, 3], fg_seed_starts=[100] * 4,
+                  num_inference_steps=4, overall_max_iter=1,
+                  overall_max_index_step=2)
+
+    ref = run_lmd_plus_batch([spec] * 4, bundle, **kwargs)
+    ref_imgs = np.stack([r.image for r in ref])
+
+    _, sharded = serve_lib.activate_mesh(bundle, dp=4, tp=2)
+    try:
+        out = run_lmd_plus_batch([spec] * 4, sharded, **kwargs)
+    finally:
+        serve_lib.deactivate_mesh()
+    out_imgs = np.stack([r.image for r in out])
+
+    # uint8 decode: allow off-by-one from reduction-order differences
+    assert np.abs(out_imgs.astype(int) - ref_imgs.astype(int)).max() <= 1
+
+
+def test_parse_mesh_arg():
+    from lmdx.dist import serve as serve_lib
+
+    assert serve_lib.parse_mesh_arg("auto") == {}
+    assert serve_lib.parse_mesh_arg("dp=4") == {"dp": 4}
+    assert serve_lib.parse_mesh_arg("dp=4,tp=2") == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        serve_lib.parse_mesh_arg("pp=2")
+    with pytest.raises(ValueError):
+        serve_lib.parse_mesh_arg("dp=x")
+
+
+def test_shard_leading_axis_no_mesh_is_identity():
+    from lmdx.dist import serve as serve_lib
+
+    x = np.ones((4, 3))
+    assert serve_lib.shard_leading_axis(x) is x

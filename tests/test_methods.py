@@ -221,3 +221,22 @@ def test_batched_matches_sequential_lmd_plus(bundle):
         diff = np.abs(s.image.astype(np.int32) - b.image.astype(np.int32))
         assert np.mean(diff) < 2.0, float(np.mean(diff))
         assert np.array_equal(s.aux["frozen_mask"], b.aux["frozen_mask"])
+
+
+def test_batched_matches_sequential_lmd(bundle):
+    """Training-free LMD through the multi-image serving path — per-box CA
+    guidance rides the batched guidance loop — must reproduce the
+    sequential method (same seeds/hyperparameters)."""
+    from lmdx.methods.batch import run_lmd_batch
+
+    spec2 = {"prompt": "A park with a green tree",
+             "gen_boxes": [("a green tree", (200, 100, 150, 250))],
+             "bg_prompt": "A park", "extra_neg_prompt": ""}
+
+    seq = [methods.lmd.run(SPEC, bundle, bg_seed=21, **GROUNDED_OVERRIDES),
+           methods.lmd.run(spec2, bundle, bg_seed=22, **GROUNDED_OVERRIDES)]
+    batched = run_lmd_batch([SPEC, spec2], bundle, bg_seeds=[21, 22],
+                            **GROUNDED_OVERRIDES)
+    for s, b in zip(seq, batched):
+        # Identical math modulo float reassociation across the batch axis.
+        assert np.abs(b.image.astype(int) - s.image.astype(int)).max() <= 1
