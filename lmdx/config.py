@@ -97,6 +97,10 @@ class SDConfig:
     key: str = "runwayml/stable-diffusion-v1-5"
     unet: UNetConfig = field(default_factory=UNetConfig)
     clip: CLIPTextConfig = field(default_factory=CLIPTextConfig)
+    # Secondary text tower (SDXL-base: clip = CLIP-L, clip2 = OpenCLIP bigG;
+    # the UNet context is the feature-concat of both, pooled comes from
+    # clip2's projected embedding). None for single-tower families.
+    clip2: CLIPTextConfig | None = None
     vae: VAEConfig = field(default_factory=VAEConfig)
     height: int = 512
     width: int = 512
@@ -120,6 +124,18 @@ class SDConfig:
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def pooled_dim(self) -> int:
+        """Width of the pooled text embedding that conditions text_time
+        (SDXL takes it from the bigG tower)."""
+        return (self.clip2 or self.clip).hidden_size
+
+    @property
+    def context_dim(self) -> int:
+        """Width of the UNet cross-attention context (dual towers concat)."""
+        return self.clip.hidden_size + (
+            self.clip2.hidden_size if self.clip2 else 0)
 
 
 def sd15() -> SDConfig:
@@ -189,10 +205,10 @@ def sdxl_refiner() -> SDConfig:
 
 
 def sdxl_base() -> SDConfig:
-    """SDXL base UNet (3-level, 10 transformer blocks at the lowest level).
-    NOTE: full SDXL-base conditioning concatenates two text encoders
-    (CLIP-L + OpenCLIP-bigG, 768+1280=2048); the bundle carries the bigG
-    tower and callers supply the concatenated context."""
+    """SDXL base: 3-level UNet (10 transformer blocks at the lowest level)
+    conditioned on the feature-concat of TWO text towers — CLIP-L (768) and
+    OpenCLIP bigG (1280) penultimate hidden states = 2048-dim context; the
+    pooled text_time conditioning comes from bigG's projected embedding."""
     return SDConfig(
         key="stabilityai/stable-diffusion-xl-base-1.0",
         unet=UNetConfig(
@@ -211,6 +227,10 @@ def sdxl_base() -> SDConfig:
             projection_class_embeddings_input_dim=2816,  # 1280 + 256*6
         ),
         clip=CLIPTextConfig(
+            hidden_size=768, intermediate_size=3072, num_layers=12,
+            num_heads=12, hidden_act="quick_gelu", penultimate_hidden=True,
+        ),
+        clip2=CLIPTextConfig(
             hidden_size=1280, intermediate_size=5120, num_layers=32,
             num_heads=20, hidden_act="gelu", penultimate_hidden=True,
             use_text_projection=True,
@@ -243,6 +263,43 @@ def tiny_sdxl() -> SDConfig:
             vocab_size=1024, hidden_size=32, intermediate_size=64,
             num_layers=2, num_heads=2, penultimate_hidden=True,
             use_text_projection=True,
+        ),
+        vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                      norm_num_groups=8),
+        height=32,
+        width=32,
+        dtype="float32",
+    )
+
+
+def tiny_sdxl_base() -> SDConfig:
+    """Miniature SDXL-BASE-class config: DUAL text towers whose concatenated
+    penultimate states form the UNet context, pooled from the second tower's
+    projection — the full SDXL-base conditioning topology at CPU-test size."""
+    return SDConfig(
+        key="tiny-sdxl-base",
+        unet=UNetConfig(
+            block_out_channels=(32, 64),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1,
+            cross_attention_dim=48,  # 16 (clip) + 32 (clip2)
+            num_attention_heads=(2, 2),
+            transformer_layers_per_block=(1, 2),
+            norm_num_groups=8,
+            use_linear_projection=True,
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=32 + 8 * 6,
+        ),
+        clip=CLIPTextConfig(
+            vocab_size=1024, hidden_size=16, intermediate_size=32,
+            num_layers=2, num_heads=2, penultimate_hidden=True,
+        ),
+        clip2=CLIPTextConfig(
+            vocab_size=1024, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=2, hidden_act="gelu",
+            penultimate_hidden=True, use_text_projection=True,
         ),
         vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
                       norm_num_groups=8),
@@ -287,4 +344,5 @@ SD_CONFIGS = {
     "stabilityai/stable-diffusion-xl-base-1.0": sdxl_base,
     "tiny-test": tiny_test,
     "tiny-sdxl": tiny_sdxl,
+    "tiny-sdxl-base": tiny_sdxl_base,
 }

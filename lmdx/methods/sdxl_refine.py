@@ -6,11 +6,11 @@ image to 1024x1024 (LANCZOS), then run an img2img denoise of strength
 negatives.
 
 The refinement engine here is architecture-agnostic img2img on any lmdx
-bundle: encode -> add noise at the strength point of the DDIM grid -> denoise
-the tail. The reference uses the SDXL-refiner checkpoint; until the SDXL
-model family lands in lmdx.nn, `load_refiner_bundle` returns the best
-available bundle (override with LMDX_REFINER_MODEL), which preserves the
-pipeline stage and its API.
+bundle. The default refiner bundle is the SDXL-refiner configuration the
+reference loads (stabilityai/stable-diffusion-xl-refiner-1.0,
+sdxl_refinement.py:10-20) — single bigG tower, text_time micro-conditioning
+with the aesthetic-score id; override with LMDX_REFINER_MODEL (e.g.
+tiny-sdxl for CPU tests, an SD key for memory-constrained runs).
 """
 
 from __future__ import annotations
@@ -38,7 +38,8 @@ _REFINER_CACHE: dict = {}
 
 
 def load_refiner_bundle():
-    key = os.environ.get("LMDX_REFINER_MODEL", "runwayml/stable-diffusion-v1-5")
+    key = os.environ.get("LMDX_REFINER_MODEL",
+                         "stabilityai/stable-diffusion-xl-refiner-1.0")
     if key not in _REFINER_CACHE:
         _REFINER_CACHE[key] = runtime_models.load_bundle(key)
     return _REFINER_CACHE[key]
@@ -83,7 +84,7 @@ def img2img(
     if ucfg.addition_embed_type == "text_time":
         # SDXL micro-conditioning ids: refiner (5) = size + crop + aesthetic
         # score (6.0 cond / 2.5 uncond); base (6) = size + crop + target size.
-        pooled_dim = bundle.config.clip.hidden_size
+        pooled_dim = bundle.config.pooled_dim
         num_ids = (ucfg.projection_class_embeddings_input_dim
                    - pooled_dim) // ucfg.addition_time_embed_dim
         h, w = image.shape[:2]
@@ -104,9 +105,16 @@ def img2img(
 
 def refine(image: np.ndarray, spec, refine_seed: int,
            refinement_step_ratio: float = 0.3, bundle=None,
-           target_size: int = 1024) -> np.ndarray:
-    """Upscale + img2img refinement (sdxl_refinement.py:22-30)."""
+           target_size: int | None = None) -> np.ndarray:
+    """Upscale + img2img refinement (sdxl_refinement.py:22-30).
+
+    target_size defaults to the refiner bundle's configured resolution
+    (1024 for the real SDXL refiner; the bundle's own size for test
+    configs — a mismatched hardcoded 1024 would square the attention
+    sequence length into OOM)."""
     bundle = bundle or load_refiner_bundle()
+    if target_size is None:
+        target_size = bundle.config.height
     prompt = base.spec_get(spec, "prompt")
     extra = base.spec_get(spec, "extra_neg_prompt", "")
     negative = f"{extra}, {SDXL_NEGATIVE_PROMPT}" if extra else SDXL_NEGATIVE_PROMPT

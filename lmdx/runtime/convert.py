@@ -205,7 +205,10 @@ def convert_position_net(sd: dict) -> dict | None:
     }
 
 
-def convert_text_encoder(sd: dict, config: SDConfig) -> dict:
+def convert_text_encoder(sd: dict, config: SDConfig, clip_cfg=None) -> dict:
+    """Convert one CLIP text tower. clip_cfg selects the tower's config
+    (defaults to config.clip; pass config.clip2 for SDXL-base's bigG)."""
+    clip_cfg = clip_cfg or config.clip
     prefix = "text_model."
     if not any(k.startswith(prefix) for k in sd):
         prefix = ""
@@ -215,11 +218,11 @@ def convert_text_encoder(sd: dict, config: SDConfig) -> dict:
         "position_embedding": sd[f"{prefix}embeddings.position_embedding.weight"],
         "final_layer_norm": _norm(sd, f"{prefix}final_layer_norm"),
     }
-    if config.clip.use_text_projection:
+    if clip_cfg.use_text_projection:
         # CLIPTextModelWithProjection stores it beside text_model.*
         params["text_projection"] = {
             "kernel": sd["text_projection.weight"].transpose(1, 0)}
-    for i in range(config.clip.num_layers):
+    for i in range(clip_cfg.num_layers):
         lk = f"{prefix}encoder.layers.{i}"
         params[f"layers_{i}"] = {
             "layer_norm1": _norm(sd, f"{lk}.layer_norm1"),
@@ -375,6 +378,10 @@ def load_checkpoint(config: SDConfig, checkpoint_dir: str) -> dict:
         "vae": convert_vae(
             _load_state_dict(os.path.join(checkpoint_dir, "vae")), config),
     }
+    if config.clip2 is not None:
+        params["text2"] = convert_text_encoder(
+            _load_state_dict(os.path.join(checkpoint_dir, "text_encoder_2")),
+            config, clip_cfg=config.clip2)
     if config.unet.use_gligen:
         pn = convert_position_net(unet_sd)
         if pn is None:

@@ -37,7 +37,10 @@ class ModelBundle:
     text_encoder: CLIPTextEncoder
     vae: AutoencoderKL
     position_net: PositionNet | None
-    params: dict  # {"unet": ..., "text": ..., "vae": ..., "position_net": ...}
+    params: dict  # {"unet", "text", "vae"[, "text2"][, "position_net"]}
+    # SDXL-base second tower (bigG): context = concat of both towers'
+    # penultimate states; pooled comes from this tower's projection.
+    text_encoder_2: CLIPTextEncoder | None = None
 
     @property
     def latent_shape(self):
@@ -110,6 +113,12 @@ def build_modules(config: SDConfig):
     return unet, text_encoder, vae, position_net
 
 
+def build_text_encoder_2(config: SDConfig) -> CLIPTextEncoder | None:
+    if config.clip2 is None:
+        return None
+    return CLIPTextEncoder(config.clip2, dtype=config.jnp_dtype())
+
+
 def init_random_params(config: SDConfig, seed: int = 0) -> dict:
     """Deterministic random params for weightless operation."""
     unet, text_encoder, vae, position_net = build_modules(config)
@@ -127,7 +136,7 @@ def init_random_params(config: SDConfig, seed: int = 0) -> dict:
     )
     added = {}
     if config.unet.addition_embed_type == "text_time":
-        pooled_dim = config.clip.hidden_size
+        pooled_dim = config.pooled_dim
         num_ids = (config.unet.projection_class_embeddings_input_dim
                    - pooled_dim) // config.unet.addition_time_embed_dim
         added = {
@@ -145,6 +154,12 @@ def init_random_params(config: SDConfig, seed: int = 0) -> dict:
         # the quant convs) get parameters.
         "vae": _random_init_params(vae, k_vae, jnp.zeros((1, 64, 64, 3), jnp.float32)),
     }
+    text_encoder_2 = build_text_encoder_2(config)
+    if text_encoder_2 is not None:
+        params["text2"] = _random_init_params(
+            text_encoder_2, jax.random.fold_in(key, 5),
+            jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32),
+        )
     if position_net is not None:
         params["position_net"] = _random_init_params(
             position_net, k_pn,
@@ -213,6 +228,7 @@ def load_bundle(
         vae=vae,
         position_net=position_net,
         params=params,
+        text_encoder_2=build_text_encoder_2(config),
     )
 
 
@@ -226,7 +242,13 @@ def _bucket(n: int) -> int:
 
 
 def encode_text(bundle: ModelBundle, texts: list[str]):
-    """Encode raw texts -> (last_hidden (N, 77, D), pooled (N, D))."""
+    """Encode raw texts -> (hidden (N, 77, D), pooled (N, Dp)).
+
+    Single tower: (last or penultimate hidden, pooled EOS embedding).
+    Dual towers (SDXL-base): hidden = concat of both towers' penultimate
+    states along features (CLIP-L 768 | bigG 1280 = 2048); pooled = the
+    second tower's projected embedding — the diffusers SDXL conditioning.
+    """
     n = len(texts)
     ids = np.asarray(
         [bundle.tokenizer.encode(t, pad_to=toklib.MAX_LENGTH) for t in texts]
@@ -245,6 +267,13 @@ def encode_text(bundle: ModelBundle, texts: list[str]):
     hidden, pooled = _text_apply(
         bundle.text_encoder, bundle.params["text"], jnp.asarray(ids), eos_id,
     )
+    if bundle.text_encoder_2 is not None:
+        hidden2, pooled2 = _text_apply(
+            bundle.text_encoder_2, bundle.params["text2"], jnp.asarray(ids),
+            eos_id,
+        )
+        hidden = jnp.concatenate([hidden, hidden2], axis=-1)
+        pooled = pooled2
     return hidden[:n].astype(jnp.float32), pooled[:n].astype(jnp.float32)
 
 

@@ -112,6 +112,31 @@ def text_encoder_manifest():
     return _shapes(sd)
 
 
+# OpenCLIP ViT-bigG text tower as transformers converts it for SDXL's
+# text_encoder_2 (CLIPTextModelWithProjection).
+CLIP_BIGG_TEXT = dict(
+    vocab_size=49408,
+    hidden_size=1280,
+    intermediate_size=5120,
+    num_hidden_layers=32,
+    num_attention_heads=20,
+    max_position_embeddings=77,
+    hidden_act="gelu",
+    projection_dim=1280,
+)
+
+
+def text_encoder_bigg_manifest():
+    import torch
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    with torch.device("meta"):
+        model = CLIPTextModelWithProjection(CLIPTextConfig(**CLIP_BIGG_TEXT))
+    sd = {k: v for k, v in model.state_dict().items()
+          if "position_ids" not in k}
+    return _shapes(sd)
+
+
 def sam_manifest():
     import torch
     from transformers import SamConfig, SamModel
@@ -213,6 +238,7 @@ def main():
         "unet_sd15": lambda: unet_manifest(use_gated_attention=False),
         "unet_gligen": lambda: unet_manifest(use_gated_attention=True),
         "text_encoder_clip_vit_l": text_encoder_manifest,
+        "text_encoder_clip_bigg": text_encoder_bigg_manifest,
         "vae_sd": vae_manifest,
         "sam_vit_base": sam_manifest,
         "owlvit_base_patch32": owlvit_manifest,

@@ -230,3 +230,48 @@ def test_shard_leading_axis_no_mesh_is_identity():
 
     x = np.ones((4, 3))
     assert serve_lib.shard_leading_axis(x) is x
+
+
+def test_param_spec_rules_sdxl_topology():
+    """Megatron-style tp specs apply to the SDXL-class UNet (per-level
+    transformer depth, linear proj in/out, text_time add_embedding) and to
+    the second text tower — via eval_shape, no init compute."""
+    import jax.numpy as jnp
+
+    from lmdx import config as cfglib
+    from lmdx.runtime.models import build_modules, build_text_encoder_2
+
+    cfg = cfglib.tiny_sdxl_base()
+    unet, _, _, _ = build_modules(cfg)
+    h = cfg.latent_height
+    shapes = jax.eval_shape(
+        unet.init, jax.random.key(0), jnp.zeros((1, h, h, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, cfg.unet.cross_attention_dim)),
+        added_text_embeds=jnp.zeros((1, cfg.pooled_dim)),
+        added_time_ids=jnp.zeros((1, 6)))["params"]
+    specs = meshlib.param_spec(shapes)
+    flat = {"/".join(str(k.key) for k in path): v
+            for path, v in jax.tree_util.tree_leaves_with_path(
+                specs, is_leaf=lambda x: isinstance(x, P))}
+
+    qkv = [k for k in flat if k.endswith("to_q/kernel")]
+    outs = [k for k in flat if k.endswith("to_out/kernel")]
+    assert qkv and all(flat[k] == P(None, "tp") for k in qkv)
+    assert outs and all(flat[k] == P("tp", None) for k in outs)
+    # add_embedding rides the same column/row pair as the time embedding
+    assert flat["add_embedding/linear_1/kernel"] == P(None, "tp")
+    assert flat["add_embedding/linear_2/kernel"] == P("tp", None)
+    # convs replicate
+    assert flat["conv_in/kernel"] == P()
+
+    tower2 = build_text_encoder_2(cfg)
+    shapes2 = jax.eval_shape(
+        tower2.init, jax.random.key(0),
+        jnp.zeros((1, 77), jnp.int32))["params"]
+    flat2 = {"/".join(str(k.key) for k in path): v
+             for path, v in jax.tree_util.tree_leaves_with_path(
+                 meshlib.param_spec(shapes2),
+                 is_leaf=lambda x: isinstance(x, P))}
+    assert flat2["layers_0/self_attn/q_proj/kernel"] == P(None, "tp")
+    assert flat2["layers_0/fc2/kernel"] == P("tp", None)

@@ -251,3 +251,19 @@ def test_validate_checkpoint_diff_logic(monkeypatch, tmp_path):
     assert report["unet"]["shape"] == ["conv_in.bias"]
     assert report["vae"] == {"missing": [], "extra": [], "shape": []}
     assert report["text_encoder"] == {"missing": [], "extra": [], "shape": []}
+
+
+def test_text_encoder_bigg_manifest():
+    """SDXL text_encoder_2 (OpenCLIP bigG with projection) converts from the
+    transformers-derived manifest onto the second-tower Flax module."""
+    from lmdx.runtime.models import build_text_encoder_2
+
+    config = cfglib.sdxl_base()
+    sd = TrackingDict(load_manifest("text_encoder_clip_bigg"))
+    converted = convert.convert_text_encoder(sd, config, clip_cfg=config.clip2)
+    tower2 = build_text_encoder_2(config)
+    expected = jax.eval_shape(
+        tower2.init, jax.random.key(0),
+        jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32))["params"]
+    assert_tree_matches(converted, expected, "text_encoder_2")
+    assert_fully_consumed(sd, component="text_encoder_clip_bigg")

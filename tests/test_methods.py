@@ -240,3 +240,29 @@ def test_batched_matches_sequential_lmd(bundle):
     for s, b in zip(seq, batched):
         # Identical math modulo float reassociation across the batch axis.
         assert np.abs(b.image.astype(int) - s.image.astype(int)).max() <= 1
+
+
+def test_sdxl_base_dual_encoder_e2e():
+    """tiny-sdxl-base: the full SDXL-base conditioning topology — TWO text
+    towers feature-concatenated into the UNet context, pooled text_time from
+    the second tower's projection — drives img2img end to end."""
+    import jax.numpy as jnp
+
+    b = runtime_models.load_bundle("tiny-sdxl-base", seed=2)
+    assert b.text_encoder_2 is not None and "text2" in b.params
+
+    hidden, pooled = runtime_models.encode_text(b, ["a red cube", "a park"])
+    assert hidden.shape == (2, 77, b.config.context_dim)  # 16 + 32 = 48
+    assert hidden.shape[-1] == b.config.unet.cross_attention_dim
+    assert pooled.shape == (2, b.config.pooled_dim)       # from tower 2
+    # The concat really carries both towers: each half varies across prompts.
+    assert float(jnp.abs(hidden[0, :, :16] - hidden[1, :, :16]).max()) > 0
+    assert float(jnp.abs(hidden[0, :, 16:] - hidden[1, :, 16:]).max()) > 0
+
+    base_img = (np.random.RandomState(0)
+                .randint(0, 255, (32, 32, 3)).astype(np.uint8))
+    refined = methods.sdxl_refine.refine(
+        base_img, SPEC, refine_seed=3, refinement_step_ratio=0.5,
+        bundle=b, target_size=b.config.height)
+    assert refined.shape == (32, 32, 3)
+    assert refined.dtype == np.uint8
