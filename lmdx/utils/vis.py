@@ -82,3 +82,81 @@ class RunSaver:
         path = os.path.join(self.img_dir, f"{name}{suffix}.png")
         image.save(path)
         return path
+
+
+def _colormap(x: np.ndarray) -> np.ndarray:
+    """Map [0,1] floats to an RGB heat ramp (black->purple->orange->yellow),
+    a dependency-free stand-in for matplotlib's inferno-style maps."""
+    x = np.clip(np.asarray(x, np.float32), 0.0, 1.0)
+    r = np.clip(3.0 * x, 0, 1)
+    g = np.clip(3.0 * x - 1.0, 0, 1)
+    b = np.clip(np.sin(np.pi * x) * 0.7 + (x < 0.33) * 0.3, 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def heatmap(array: np.ndarray, size: int | None = None,
+            normalize: bool = True) -> Image.Image:
+    """Render a 2D array as a heat image (vis.visualize equivalent)."""
+    a = np.asarray(array, np.float32)
+    if normalize:
+        lo, hi = float(a.min()), float(a.max())
+        a = (a - lo) / (hi - lo) if hi > lo else np.zeros_like(a)
+    img = Image.fromarray(_colormap(a))
+    if size:
+        img = img.resize((size, size), Image.NEAREST)
+    return img
+
+
+def array_grid(arrays, titles=None, cell: int = 128) -> Image.Image:
+    """Tile 2D arrays as heatmaps in a row (vis.visualize_arrays
+    equivalent, reference utils/vis.py:20-42)."""
+    arrays = list(arrays)
+    n = max(len(arrays), 1)
+    img = Image.new("RGB", (cell * n, cell + 14), (255, 255, 255))
+    draw = ImageDraw.Draw(img)
+    for i, a in enumerate(arrays):
+        img.paste(heatmap(a, size=cell), (i * cell, 0))
+        if titles is not None:
+            draw.text((i * cell + 2, cell + 1), str(titles[i])[:20],
+                      fill=(0, 0, 0))
+    return img
+
+
+def attn_heatmaps(taps_stack, steps=None, cell: int = 128) -> Image.Image:
+    """Cross-attention maps of one token across timesteps as a heat strip
+    (vis.visualize_attn / visualize_across_timesteps equivalent, reference
+    utils/vis.py:115-207). taps_stack: (T, heads, n) or (T, 1, heads, n, 1)
+    single-token tap stacks from the sampler."""
+    stack = np.asarray(taps_stack)
+    if stack.ndim == 5:
+        stack = stack[:, 0, :, :, 0]
+    maps = stack.mean(axis=1)                      # (T, n) head-mean
+    hw = int(round(maps.shape[-1] ** 0.5))
+    t_idx = list(steps) if steps is not None else list(range(maps.shape[0]))
+    return array_grid([maps[t].reshape(hw, hw) for t in t_idx],
+                      titles=[f"t{t}" for t in t_idx], cell=cell)
+
+
+def masked_latents(latents, mask, cell: int = 256) -> Image.Image:
+    """Channel-mean latent heatmap beside its masked version
+    (vis.visualize_masked_latents equivalent, reference utils/vis.py:44-113).
+    latents: (B, H, W, C) or (H, W, C); mask: (H, W)."""
+    lat = np.asarray(latents, np.float32)
+    if lat.ndim == 4:
+        lat = lat[0]
+    plane = lat.mean(axis=-1)
+    m = np.asarray(mask, np.float32)
+    return array_grid([plane, plane * m, m],
+                      titles=["latents", "masked", "mask"], cell=cell)
+
+
+def latent_trajectory_strip(all_latents, stride: int = 5,
+                            cell: int = 96) -> Image.Image:
+    """Latent evolution across the sampling trajectory
+    (vis.visualize_across_timesteps equivalent). all_latents:
+    (S+1, B, H, W, C) trajectory from save_all_latents."""
+    traj = np.asarray(all_latents, np.float32)
+    planes = traj[::stride, 0].mean(axis=-1)       # (k, H, W)
+    return array_grid(list(planes),
+                      titles=[f"s{i * stride}" for i in range(len(planes))],
+                      cell=cell)

@@ -141,3 +141,24 @@ def test_english_helpers():
     assert english.a("orange") == "an orange"
     assert english.a("hour") == "an hour"
     assert english.a("unicorn") == "a unicorn"
+
+
+def test_vis_heatmap_suite():
+    """The artifact visualizers (reference utils/vis.py equivalents) render
+    without matplotlib and at the expected sizes."""
+    import numpy as np
+
+    from lmdx.utils import vis
+
+    rng = np.random.RandomState(0)
+    assert vis.heatmap(rng.rand(8, 8), size=64).size == (64, 64)
+    # constant array must not divide by zero
+    assert vis.heatmap(np.zeros((4, 4))).size == (4, 4)
+    grid = vis.array_grid([rng.rand(8, 8)] * 3, titles=["a", "b", "c"])
+    assert grid.size == (128 * 3, 128 + 14)
+    strip = vis.attn_heatmaps(rng.rand(6, 1, 2, 16, 1), steps=[0, 3, 5])
+    assert strip.size == (128 * 3, 128 + 14)
+    ml = vis.masked_latents(rng.rand(1, 8, 8, 4), rng.rand(8, 8) > 0.5)
+    assert ml.size == (256 * 3, 256 + 14)
+    traj = vis.latent_trajectory_strip(rng.rand(11, 1, 8, 8, 4), stride=5)
+    assert traj.size == (96 * 3, 96 + 14)
