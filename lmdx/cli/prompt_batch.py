@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     parser.add_argument("--num_prompts", default=None, type=int)
     parser.add_argument("--cache-dir", default="cache")
     parser.add_argument("--max-retries", default=3, type=int)
+    parser.add_argument("--api-base", default="",
+                        help="override the LLM endpoint base URL (e.g. a "
+                             "self-hosted OpenAI-compatible server)")
+    parser.add_argument("--api-key", default="")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
     args = parser.parse_args(argv)
@@ -48,7 +52,8 @@ def main(argv=None) -> int:
         if not args.auto_query:
             return 0
 
-    config = get_llm_config(args.model, template_version=args.template_version)
+    config = get_llm_config(args.model, template_version=args.template_version,
+                            api_base=args.api_base, api_key=args.api_key)
     cache = LayoutCache(cache_filename(args.prompt_type, args.template_version,
                                        args.model, args.cache_dir))
     prompts = get_prompts(args.prompt_type, model=args.model)

@@ -1,0 +1,111 @@
+"""CLI driver tests that need no accelerator: stage-1 batch driver against
+the fake OpenAI server, template printout, and the generate dry-run path."""
+
+import json
+import os
+import threading
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from lmdx.cli import generate as gen_cli
+from lmdx.cli import prompt_batch
+from tests.test_llm_client import VALID_RESPONSE, _FakeOpenAI
+
+DEMO_CACHE = "/root/reference/cache/cache_demo_v0.1_gpt-4.json"
+
+
+@pytest.fixture()
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeOpenAI)
+    srv.script = []
+    srv.requests = []
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+    thread.join(timeout=5)
+
+
+def test_prompt_batch_auto_query_populates_cache(server, tmp_path, capsys):
+    argv = [
+        "--prompt-type", "demo", "--model", "gpt-4", "--auto-query",
+        "--cache-dir", str(tmp_path),
+        "--api-base", f"http://127.0.0.1:{server.server_address[1]}/v1",
+    ]
+    assert prompt_batch.main(argv) == 0
+    assert len(server.requests) == 3  # the three demo prompts
+
+    cache_path = tmp_path / "cache_demo_v0.1_gpt-4.json"
+    cache = json.load(open(cache_path))
+    assert len(cache) == 3
+    assert all(v == [VALID_RESPONSE] for v in cache.values())
+
+    # Second run: everything served from cache, no new HTTP traffic.
+    assert prompt_batch.main(argv) == 0
+    assert len(server.requests) == 3
+    assert "cached" in capsys.readouterr().out
+
+
+def test_prompt_batch_retries_on_malformed(server, tmp_path, monkeypatch):
+    monkeypatch.setattr(prompt_batch.time, "sleep", lambda s: None)
+    server.script = [(200, "nonsense")] * 3 * 3  # all attempts fail
+    argv = [
+        "--prompt-type", "demo", "--model", "gpt-4", "--auto-query",
+        "--cache-dir", str(tmp_path),
+        "--api-base", f"http://127.0.0.1:{server.server_address[1]}/v1",
+    ]
+    assert prompt_batch.main(argv) == 0  # gives up but does not crash
+    assert not (tmp_path / "cache_demo_v0.1_gpt-4.json").exists()
+
+
+def test_prompt_batch_show_template(capsys):
+    assert prompt_batch.main([
+        "--show-template", "--prompt-type", "demo", "--model", "gpt-4",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "<your caption here>" in out
+    assert "Objects:" in out
+
+
+def test_generate_dry_run(tmp_path, capsys):
+    if not os.path.exists(DEMO_CACHE):
+        pytest.skip("reference demo cache not present")
+    rc = gen_cli.main([
+        "--prompt-type", "demo", "--model", "gpt-4",
+        "--template_version", "v0.1", "--run-model", "lmd_plus",
+        "--cache-path", DEMO_CACHE, "--dry-run",
+        "--save-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("spec:") == 3
+    assert "gen_boxes" in out
+
+
+def test_webui_page_and_generate():
+    """The WebUI App renders the form page and serves a full generation
+    (layout -> stage-2 -> HTML with embedded images) without HTTP."""
+    import argparse
+
+    from lmdx.webui import server as webui
+
+    if not os.path.exists(DEMO_CACHE):
+        pytest.skip("reference demo cache not present")
+    app = webui.App(argparse.Namespace(
+        sd_model="tiny-test", llm_model="gpt-4", cache_path=DEMO_CACHE,
+        steps=4))
+    page = app.page()
+    assert "<form" in page and "lmd_plus" in page
+
+    pytest.importorskip("PIL")
+    html_out = app.generate(
+        "A realistic photo of a wooden table without bananas in an indoor scene",
+        method="sd", seed=1, steps=4)
+    assert "<h3>Layout</h3>" in html_out
+    assert "<h3>Image</h3>" in html_out
+    assert html_out.count("data:image/png;base64,") >= 2
+    assert "wooden table" in html_out
+
+
+test_webui_page_and_generate = pytest.mark.slow(test_webui_page_and_generate)
