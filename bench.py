@@ -40,6 +40,11 @@ SPEC = {
 
 BATCH = 8  # images per batched pipeline invocation
 
+# LMDX_BENCH_SAM=1 runs the real Flax SAM ViT-B segmenter per box (the
+# reference's configuration, models/sam.py:25-55) instead of the weightless
+# CoarseSegmenter; random-init weights — timing is weight-independent.
+USE_SAM = bool(int(__import__("os").environ.get("LMDX_BENCH_SAM", "0")))
+
 
 def _specs():
     """BATCH distinct 2-box layouts (different objects/placements/seeds)."""
@@ -74,10 +79,26 @@ def main():
                                         seed=0)
     specs = _specs()
 
+    segmenter = None
+    if USE_SAM:
+        import jax
+
+        from lmdx.nn import sam as samlib
+
+        sam_cfg = samlib.sam_vit_base()
+        sam_model = samlib.Sam(sam_cfg)
+        import jax.numpy as jnp
+
+        sam_params = jax.jit(sam_model.init)(
+            jax.random.key(0),
+            jnp.zeros((1, sam_cfg.image_size, sam_cfg.image_size, 3)),
+            jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32))["params"]
+        segmenter = samlib.FlaxSamSegmenter(sam_params, sam_cfg)
+
     def once():
         return run_lmd_plus_batch(
             specs, bundle, bg_seeds=list(range(1, BATCH + 1)),
-            num_inference_steps=50)
+            num_inference_steps=50, segmenter=segmenter)
 
     once()  # compile warmup (segments for per-box and overall passes)
 
@@ -90,10 +111,15 @@ def main():
         times.append(time.perf_counter() - t0)
 
     value = BATCH / min(times)
+    metric = "lmd_plus_sd512_50step_images_per_sec_per_chip"
+    if USE_SAM:
+        metric += "_with_sam"
     print(json.dumps({
-        "metric": "lmd_plus_sd512_50step_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(value, 5),
         "unit": "images/s/chip",
+        # denominator is the documented A100 engineering ESTIMATE (no
+        # published reference throughput exists) — see module docstring.
         "vs_baseline": round(value / REFERENCE_A100_IMG_PER_S, 3),
     }))
 

@@ -48,6 +48,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, t_emb):
         residual = x
+        # NOTE: a Pallas fused GroupNorm+SiLU (pallas/group_norm.py) was
+        # measured SLOWER here (190 vs 182.5 ms b16 fwd on v5e) — XLA fuses
+        # the stats reduce with the producing conv, which a separate kernel
+        # pass cannot; it stays available as an opt-in experiment.
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
                          dtype=jnp.float32, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(
