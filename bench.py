@@ -38,12 +38,17 @@ SPEC = {
 }
 
 
-BATCH = 8  # images per batched pipeline invocation
+import os
+
+# Images per batched pipeline invocation. LMDX_BENCH_BATCH=1 measures
+# single-image latency (BASELINE.json's p50-latency north star) instead of
+# batched throughput.
+BATCH = int(os.environ.get("LMDX_BENCH_BATCH", "8"))
 
 # LMDX_BENCH_SAM=1 runs the real Flax SAM ViT-B segmenter per box (the
 # reference's configuration, models/sam.py:25-55) instead of the weightless
 # CoarseSegmenter; random-init weights — timing is weight-independent.
-USE_SAM = bool(int(__import__("os").environ.get("LMDX_BENCH_SAM", "0")))
+USE_SAM = bool(int(os.environ.get("LMDX_BENCH_SAM", "0")))
 
 
 def _specs():
@@ -114,6 +119,14 @@ def main():
     metric = "lmd_plus_sd512_50step_images_per_sec_per_chip"
     if USE_SAM:
         metric += "_with_sam"
+    extra = {}
+    if BATCH == 1:
+        metric = "lmd_plus_sd512_50step_p50_latency_s" + (
+            "_with_sam" if USE_SAM else "")
+        value = sorted(times)[len(times) // 2]
+        extra = {"unit": "s/image",
+                 "vs_baseline": round((1.0 / value) /
+                                      REFERENCE_A100_IMG_PER_S, 3)}
     print(json.dumps({
         "metric": metric,
         "value": round(value, 5),
@@ -121,6 +134,7 @@ def main():
         # denominator is the documented A100 engineering ESTIMATE (no
         # published reference throughput exists) — see module docstring.
         "vs_baseline": round(value / REFERENCE_A100_IMG_PER_S, 3),
+        **extra,
     }))
 
 

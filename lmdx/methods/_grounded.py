@@ -233,13 +233,23 @@ def run_grounded(spec, bundle, p: GroundedParams,
         n = len(so_list)
         so_data = None
         if use_so_guidance:
-            so_datas = []
-            for idx, (prompt, phrase, word, box) in enumerate(so_list):
-                indices = toklib.get_phrase_indices(
-                    bundle.tokenizer, prompt, [phrase], words=[word])
-                so_datas.append(guidance_lib.make_guidance_data(
-                    [box], indices.object_positions, so_spec, latent_hw,
-                    num_levels, max_objs=1))
+            so_positions = [
+                toklib.get_phrase_indices(
+                    bundle.tokenizer, prompt, [phrase],
+                    words=[word]).object_positions
+                for prompt, phrase, word, _ in so_list
+            ]
+            # Shared position pad across boxes (stacking requires it),
+            # bucketed to the actual need (see make_guidance_data).
+            so_p_pad = guidance_lib.bucket(max(
+                (len(pos) for obj_pos in so_positions for pos in obj_pos),
+                default=1))
+            so_datas = [
+                guidance_lib.make_guidance_data(
+                    [box], obj_pos, so_spec, latent_hw, num_levels,
+                    max_objs=1, max_positions=so_p_pad)
+                for (_, _, _, box), obj_pos in zip(so_list, so_positions)
+            ]
             so_data = guidance_lib.stack_guidance_data(so_datas)
         batched_latents = jnp.concatenate(input_latents_list, axis=0)
         text_embeddings = jnp.concatenate(

@@ -46,10 +46,6 @@ from ..text.template import (
 from . import base
 from ._grounded import GroundedParams, _make_guidance_spec
 
-MAX_OBJS = 8
-MAX_POSITIONS = 8
-
-
 def run_grounded_batch(
     specs: list,
     bundle,
@@ -162,13 +158,23 @@ def run_grounded_batch(
         # sequential semantics of _grounded.py:233-243 across all images).
         so_data = None
         if use_so_guidance:
-            so_datas = []
-            for _, (prompt, phrase, word, box) in flat:
-                indices = toklib.get_phrase_indices(
-                    bundle.tokenizer, prompt, [phrase], words=[word])
-                so_datas.append(guidance_lib.make_guidance_data(
-                    [box], indices.object_positions, so_spec, latent_hw,
-                    num_levels, max_objs=1))
+            so_positions = [
+                toklib.get_phrase_indices(
+                    bundle.tokenizer, prompt, [phrase],
+                    words=[word]).object_positions
+                for _, (prompt, phrase, word, _) in flat
+            ]
+            # Shared position pad across the batch (stacking requires it) —
+            # bucketed to the actual need, not a fixed maximum.
+            so_p_pad = guidance_lib.bucket(max(
+                (len(pos) for obj_pos in so_positions for pos in obj_pos),
+                default=1))
+            so_datas = [
+                guidance_lib.make_guidance_data(
+                    [item[3]], obj_pos, so_spec, latent_hw, num_levels,
+                    max_objs=1, max_positions=so_p_pad)
+                for (_, item), obj_pos in zip(flat, so_positions)
+            ]
             so_data = jax.tree_util.tree_map(
                 shard0, guidance_lib.stack_guidance_data(so_datas))
 
@@ -216,6 +222,7 @@ def run_grounded_batch(
 
     # ---- per-image composition -------------------------------------------
     composed_list, data_list, ref_list, results_aux = [], [], [], []
+    guid_raw, ref_raw = [], []
     overall_prompts, overall_negatives = [], []
     flat_idx = 0
     overall_spec = _make_guidance_spec(p, overall=True)
@@ -279,24 +286,18 @@ def run_grounded_batch(
                 bundle.tokenizer, overall_prompt, phrases, words=words,
                 add_suffix_if_not_found=True)
             overall_prompt = indices.prompt
-            ref_box_to_obj = [o for o, bs in enumerate(bboxes) for _ in bs]
-            data_list.append(guidance_lib.make_guidance_data(
-                bboxes, indices.object_positions, overall_spec, latent_hw,
-                num_levels, word_token_indices=indices.word_token_indices,
-                ref_box_to_obj=ref_box_to_obj if p.use_ref_ca else None,
-                max_objs=MAX_OBJS, max_positions=MAX_POSITIONS,
-                max_ref_boxes=MAX_OBJS))
+            guid_raw.append({
+                "bboxes": bboxes,
+                "positions": indices.object_positions,
+                "wt": indices.word_token_indices,
+                "ref": [o for o, bs in enumerate(bboxes) for _ in bs],
+            })
         else:
-            data_list.append(guidance_lib.make_guidance_data(
-                [], [], overall_spec, latent_hw, num_levels,
-                word_token_indices=[], ref_box_to_obj=[],
-                max_objs=MAX_OBJS, max_positions=MAX_POSITIONS,
-                max_ref_boxes=MAX_OBJS))
+            guid_raw.append({"bboxes": [], "positions": [], "wt": [],
+                             "ref": []})
         if p.use_ref_ca:
             if n_i and on_device:
-                ref_list.append(_pad_ref_device(
-                    taps_dev, idxs, MAX_OBJS, p, cfg, schedule.num_steps,
-                    latent_hw, num_levels))
+                ref_raw.append(("dev", idxs))
             else:
                 ref_taps_per_box = [
                     {k: v[:, bi, :, :, 0] for k, v in taps_np.items()
@@ -306,11 +307,35 @@ def run_grounded_batch(
                 shifted = compose_lib.shift_ref_taps(
                     ref_taps_per_box, offsets,
                     horizontal_shift_only=p.horizontal_shift_only)
-                ref_list.append({k: jnp.asarray(v) for k, v in _pad_ref(
-                    shifted, MAX_OBJS, p, cfg, schedule.num_steps,
-                    latent_hw, num_levels).items()})
+                ref_raw.append(("host", shifted))
         overall_prompts.append(overall_prompt)
         overall_negatives.append(im["overall_negative"])
+
+    # Shared static pads for the batch, bucketed to the actual maxima: the
+    # guidance loss sorts (G, O, P, heads, n) per topk, so a fixed 8/8/8 pad
+    # on typical 2-box 1-word prompts cost 32x the necessary sort volume
+    # (measured 9.15 ms per padded sort on v5e — ~55 ms/guidance iteration).
+    o_pad = guidance_lib.bucket(max(
+        (len(g["bboxes"]) for g in guid_raw), default=1))
+    p_pad = guidance_lib.bucket(max(
+        (len(pos) for g in guid_raw for pos in g["positions"]), default=1))
+    bx_pad = guidance_lib.bucket(max(
+        (len(g["ref"]) for g in guid_raw), default=1))
+    for g in guid_raw:
+        data_list.append(guidance_lib.make_guidance_data(
+            g["bboxes"], g["positions"], overall_spec, latent_hw,
+            num_levels, word_token_indices=g["wt"],
+            ref_box_to_obj=g["ref"] if p.use_ref_ca else None,
+            max_objs=o_pad, max_positions=p_pad, max_ref_boxes=bx_pad))
+    for kind, payload in ref_raw:
+        if kind == "dev":
+            ref_list.append(_pad_ref_device(
+                taps_dev, payload, bx_pad, p, cfg, schedule.num_steps,
+                latent_hw, num_levels))
+        else:
+            ref_list.append({k: jnp.asarray(v) for k, v in _pad_ref(
+                payload, bx_pad, p, cfg, schedule.num_steps,
+                latent_hw, num_levels).items()})
 
     # ---- ONE batched overall pass -----------------------------------------
     cond, _ = runtime_models.encode_text(bundle, overall_prompts)

@@ -119,6 +119,19 @@ def _boxes_to_mask(obj_boxes, H, W):
     return mask
 
 
+def bucket(n: int) -> int:
+    """Smallest power of two >= n (minimum 1).
+
+    Static pad sizes for the guidance arrays: padding to the bucket of the
+    actual need (instead of a fixed maximum) keeps the per-iteration topk
+    sorts over (G, O, P, heads, n) proportional to the real workload while
+    bounding the number of distinct compiled shapes."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 def make_guidance_data(
     bboxes,
     object_positions,
@@ -127,8 +140,8 @@ def make_guidance_data(
     num_levels: int,
     word_token_indices=None,
     ref_box_to_obj=None,
-    max_objs: int = 8,
-    max_positions: int = 8,
+    max_objs: int | None = None,
+    max_positions: int | None = None,
     max_ref_boxes: int | None = None,
 ) -> GuidanceData:
     """Precompute padded guidance arrays on the host.
@@ -139,9 +152,19 @@ def make_guidance_data(
     object_positions: per-object token-index lists in the cond prompt.
     word_token_indices: per-object word-token index (ref-CA target column).
     ref_box_to_obj: for ref-CA, mapping flattened-box -> object index.
+    max_objs/max_positions/max_ref_boxes: static pad sizes (callers stacking
+        several images must pass shared values); None = bucket of the actual
+        size. The loss sorts (G, O, P, heads, n) arrays, so oversized pads
+        multiply real sort work — a fixed 8/8 pad on a 2-box 1-word batch
+        measured 32x the necessary sort volume (9.15 ms/sort on v5e).
     """
-    O = max_objs
     num_objects = len(bboxes)
+    if max_objs is None:
+        max_objs = bucket(max(num_objects, 1))
+    if max_positions is None:
+        max_positions = bucket(max(
+            (len(p) for p in object_positions), default=1))
+    O = max_objs
     if num_objects > O:
         raise ValueError(f"{num_objects} objects > max_objs={O}; raise max_objs")
 
