@@ -32,7 +32,10 @@ class FlaxOwlViTDetector:
 
         self.config = config or owlvit_lib.owlvit_base_patch32()
         self.model = owlvit_lib.OwlViT(self.config)
-        self.params = params
+        # Pin params on device once — converted checkpoints arrive as host
+        # numpy, and a 400-image eval would otherwise re-stream the full
+        # model over the chip tunnel on every call.
+        self.params = jax.device_put(params)
         self.tokenizer = tokenizer or toklib.default_tokenizer()
         self._apply = jax.jit(
             lambda params, pixels, ids: self.model.apply(
@@ -61,9 +64,19 @@ class FlaxOwlViTDetector:
             [self.tokenizer.encode(t, pad_to=max_len)[:max_len] for t in texts],
             np.int32,
         ) % self.config.text.vocab_size
+        # Bucket the query axis (next power of two, padded with empty
+        # queries) so the benchmark's varying per-prompt query counts share
+        # compiled variants; padded columns are sliced off below.
+        n_q = len(texts)
+        b_q = 1
+        while b_q < n_q:
+            b_q *= 2
+        if b_q > n_q:
+            ids = np.pad(ids, ((0, b_q - n_q), (0, 0)))
         boxes, logits = self._apply(self.params, pixels, ids)
         boxes = np.asarray(boxes[0])            # (N, 4) cxcywh [0,1]
-        probs = 1.0 / (1.0 + np.exp(-np.asarray(logits[0])))  # (N, Q)
+        logits = np.asarray(logits[0])[:, :n_q]
+        probs = 1.0 / (1.0 + np.exp(-logits))   # (N, Q)
         scores = probs.max(axis=-1)
         labels = probs.argmax(axis=-1)
         cx, cy, w, h = boxes.T

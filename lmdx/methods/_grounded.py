@@ -286,20 +286,29 @@ def run_grounded(spec, bundle, p: GroundedParams,
 
         all_latents_np = np.asarray(all_latents)
         saved_taps_np = {k: np.asarray(v) for k, v in saved_taps.items()}
-        for idx, (_, _, _, box) in enumerate(so_list):
-            so_image = so_images_arr[idx] if so_images_arr is not None else None
-            if p.use_gligen:
-                # LMD+: the box itself prompts the segmenter (sam.py:182-213).
-                mask = masking.refine_mask_from_box(
-                    box, so_image, latent_hw, segmenter, refine_cfg)
-            else:
-                # LMD: aggregated word-token attention prompts the segmenter.
-                attn_map = compose_lib.aggregate_token_attention(
+        img_list = [
+            so_images_arr[idx] if so_images_arr is not None else None
+            for idx in range(n)
+        ]
+        # Every box segments in ONE batched call (one compiled SAM encoder
+        # forward instead of a B=1 dispatch per box).
+        if p.use_gligen:
+            # LMD+: the box itself prompts the segmenter (sam.py:182-213).
+            masks = masking.refine_masks_from_boxes(
+                [box for _, _, _, box in so_list], img_list, latent_hw,
+                segmenter, refine_cfg)
+        else:
+            # LMD: aggregated word-token attention prompts the segmenter.
+            attn_maps = [
+                compose_lib.aggregate_token_attention(
                     saved_taps_np[p.obj_attn_key][:, idx : idx + 1],
                     start_step=p.attn_aggregation_step_start)
-                mask = masking.refine_mask_from_attn(
-                    attn_map, so_image, latent_hw, segmenter, refine_cfg)
-
+                for idx in range(n)
+            ]
+            masks = masking.refine_masks_from_attn(
+                attn_maps, img_list, latent_hw, segmenter, refine_cfg)
+        for idx, mask in enumerate(masks):
+            so_image = img_list[idx]
             latents_all_list.append(all_latents_np[:, idx : idx + 1])
             mask_list.append(mask)
             if p.use_ref_ca:

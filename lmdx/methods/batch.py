@@ -224,34 +224,39 @@ def run_grounded_batch(
     composed_list, data_list, ref_list, results_aux = [], [], [], []
     guid_raw, ref_raw = [], []
     overall_prompts, overall_negatives = [], []
-    flat_idx = 0
     overall_spec = _make_guidance_spec(p, overall=True)
+
+    # ALL boxes of ALL images segment in one batched call (one compiled SAM
+    # encoder forward for the whole batch instead of a B=1 dispatch per box).
+    n_flat = sum(len(im["so_list"]) for im in images)
+    flat_images = [so_images[bi] for bi in range(n_flat)]
+    if n_flat == 0:
+        all_masks = []
+    elif p.use_gligen:
+        # LMD+: the box itself prompts the segmenter (sam.py:182-213).
+        flat_boxes = [so[3] for im in images for so in im["so_list"]]
+        all_masks = masking.refine_masks_from_boxes(
+            flat_boxes, flat_images, latent_hw, segmenter, refine_cfg)
+    else:
+        # LMD: aggregated word-token attention prompts the segmenter
+        # (reference lmd.py:124-147).
+        attn_maps = [
+            compose_lib.aggregate_token_attention(
+                obj_taps_np[:, bi : bi + 1],
+                start_step=p.attn_aggregation_step_start)
+            for bi in range(n_flat)
+        ]
+        all_masks = masking.refine_masks_from_attn(
+            attn_maps, flat_images, latent_hw, segmenter, refine_cfg)
+
+    flat_idx = 0
     for gi, im in enumerate(images):
         conv = im["conv"]
         so_list = im["so_list"]
         n_i = len(so_list)
         idxs = list(range(flat_idx, flat_idx + n_i))
         flat_idx += n_i
-
-        if p.use_gligen:
-            # LMD+: the box itself prompts the segmenter (sam.py:182-213).
-            mask_list = [
-                masking.refine_mask_from_box(
-                    so_list[j][3], so_images[bi], latent_hw, segmenter,
-                    refine_cfg)
-                for j, bi in enumerate(idxs)
-            ]
-        else:
-            # LMD: aggregated word-token attention prompts the segmenter
-            # (reference lmd.py:124-147).
-            mask_list = [
-                masking.refine_mask_from_attn(
-                    compose_lib.aggregate_token_attention(
-                        obj_taps_np[:, bi : bi + 1],
-                        start_step=p.attn_aggregation_step_start),
-                    so_images[bi], latent_hw, segmenter, refine_cfg)
-                for bi in idxs
-            ]
+        mask_list = [all_masks[bi] for bi in idxs]
 
         if n_i and on_device:
             composed_latents, fg_idx = _compose_device(

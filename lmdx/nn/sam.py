@@ -393,44 +393,141 @@ SAM_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 SAM_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
-class FlaxSamSegmenter:
-    """masking.Segmenter backed by Flax SAM."""
+def _bucket_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
 
-    def __init__(self, params, config: SamConfig | None = None):
+
+class FlaxSamSegmenter:
+    """masking.Segmenter backed by Flax SAM.
+
+    dtype: compute dtype. bf16 is the parity configuration — the reference
+    runs its SAM forward under torch.autocast fp16 (models/sam.py:27-31 via
+    lmd_plus.py use_autocast=True); params stay f32, linen casts per call.
+
+    segment_batch runs every box of a pipeline batch through ONE compiled
+    forward (batch dim bucketed to the next power of two, point prompts
+    padded to the box-prompt's 2 slots with label -1) instead of B separate
+    1024² encoder dispatches — the encoder dominates, so B-at-once is the
+    difference between a memory/launch-bound loop and an MXU-bound matmul.
+    """
+
+    def __init__(self, params, config: SamConfig | None = None,
+                 dtype=jnp.bfloat16):
         self.config = config or sam_vit_base()
-        self.model = Sam(self.config)
-        self.params = params
-        self._apply = jax.jit(
-            lambda params, px, pts, lbl: self.model.apply(
-                {"params": params}, px, pts, lbl))
+        self.model = Sam(self.config, dtype=dtype)
+        # Pin params on device once: converted checkpoints arrive as host
+        # numpy, and a per-call transfer would re-stream ~0.36 GB over the
+        # chip tunnel on every segment call.
+        self.params = jax.device_put(params)
+        size = self.config.image_size
+
+        def apply(params, raw, pts, lbl):
+            # Resize + normalize ON DEVICE: the host uploads compact uint8
+            # at source resolution (0.8 MB per 512² image) instead of
+            # f32 at 1024² (12.6 MB) — the upload rides the tunnel, so
+            # 16× less traffic dominates everything else in this path.
+            x = raw.astype(jnp.float32)
+            x = jax.image.resize(
+                x, (x.shape[0], size, size, x.shape[3]), "bilinear")
+            x = (x - SAM_MEAN) / SAM_STD
+            return self.model.apply({"params": params}, x, pts, lbl)
+
+        self._apply = jax.jit(apply)
+
+    def _preprocess(self, image) -> np.ndarray:
+        """Host fallback: to RGB uint8 at a uniform size (device resizes)."""
+        from PIL import Image as PILImage
+
+        img = PILImage.fromarray(np.asarray(image)).convert("RGB")
+        return np.asarray(img, np.uint8)
 
     def segment(self, image, input_points=None, input_boxes=None,
                 target_hw=None):
-        from PIL import Image as PILImage
+        [(masks, iou)] = self.segment_batch(
+            [image],
+            input_points=None if input_points is None else [input_points],
+            input_boxes=None if input_boxes is None else [input_boxes],
+            target_hw=target_hw)
+        return masks, iou
+
+    # Compiled batch cap: each global-attention layer materializes a
+    # (B, heads, 4096, 4096) f32 score matrix at the 1024² input — 0.8 GB
+    # per image — so the batch is processed in chunks of at most 4
+    # (3.2 GB peak) rather than all at once.
+    CHUNK = 4
+
+    def segment_batch(self, images, input_points=None, input_boxes=None,
+                      target_hw=None):
+        """Segment B images with one prompt each, in chunked jitted forwards.
+
+        images: length-B list of HxWx3 arrays. Exactly one of input_points
+        (B entries of [(x, y)]) / input_boxes (B entries of [(x0,y0,x1,y1)])
+        — per-image prompt kind mixing is not needed by any pipeline path.
+        Returns a length-B list of (masks (3, h, w) bool, iou (3,)).
+        """
+        n = len(images)
+        if n > self.CHUNK:
+            out = []
+            for s in range(0, n, self.CHUNK):
+                out.extend(self.segment_batch(
+                    images[s : s + self.CHUNK],
+                    input_points=(None if input_points is None
+                                  else input_points[s : s + self.CHUNK]),
+                    input_boxes=(None if input_boxes is None
+                                 else input_boxes[s : s + self.CHUNK]),
+                    target_hw=target_hw))
+            return out
 
         from ..sampling.masking import resize_mask
 
-        size = self.config.image_size
-        img = PILImage.fromarray(np.asarray(image)).convert("RGB").resize(
-            (size, size), PILImage.BILINEAR)
-        pixels = ((np.asarray(img, np.float32) - SAM_MEAN) / SAM_STD)[None]
+        arrs = [self._preprocess(im) for im in images]
+        if len({a.shape for a in arrs}) > 1:
+            # Mixed sizes (not produced by any pipeline path): host-resize
+            # to the model size so the batch stacks.
+            from PIL import Image as PILImage
 
+            size = self.config.image_size
+            arrs = [np.asarray(
+                PILImage.fromarray(a).resize((size, size),
+                                             PILImage.BILINEAR), np.uint8)
+                for a in arrs]
+        pixels = np.stack(arrs)
+        # Both prompt kinds share the compiled 2-slot shape: a lone point
+        # rides slot 0 with slot 1 padded as "not a point" (label -1).
+        points = np.zeros((n, 2, 2), np.float32)
+        labels = np.full((n, 2), -1, np.int32)
         if input_boxes is not None:
-            x0, y0, x1, y1 = input_boxes[0]
-            points = np.array([[[x0, y0], [x1, y1]]], np.float32)
-            labels = np.array([[2, 3]], np.int32)
+            for i, [(x0, y0, x1, y1)] in enumerate(input_boxes):
+                points[i] = [(x0, y0), (x1, y1)]
+                labels[i] = (2, 3)
         elif input_points is not None:
-            px, py = input_points[0]
-            points = np.array([[[px, py]]], np.float32)
-            labels = np.array([[1]], np.int32)
+            for i, [(px, py)] in enumerate(input_points):
+                points[i, 0] = (px, py)
+                labels[i, 0] = 1
         else:
             raise ValueError("need input_points or input_boxes")
 
+        b = _bucket_pow2(n)
+        if b > n:
+            pad = ((0, b - n),) + ((0, 0),) * (pixels.ndim - 1)
+            pixels = np.pad(pixels, pad, mode="edge")
+            points = np.pad(points, ((0, b - n), (0, 0), (0, 0)))
+            labels = np.pad(labels, ((0, b - n), (0, 0)),
+                            constant_values=-1)
+
         masks, iou = self._apply(self.params, jnp.asarray(pixels),
                                  jnp.asarray(points), jnp.asarray(labels))
-        masks = np.asarray(masks[0]) > 0.0   # (3, S/4, S/4)
-        out = np.stack([resize_mask(m, *target_hw) for m in masks])
-        return out.astype(bool), np.asarray(iou[0])
+        masks = np.asarray(masks[:n]) > 0.0   # (n, 3, S/4, S/4)
+        iou = np.asarray(iou[:n], np.float32)
+        out = []
+        for i in range(n):
+            resized = np.stack(
+                [resize_mask(m, *target_hw) for m in masks[i]])
+            out.append((resized.astype(bool), iou[i]))
+        return out
 
 
 # ---- conversion ------------------------------------------------------------

@@ -15,7 +15,10 @@ Here the segmenter is pluggable:
 - A converted SAM (lmdx/nn/sam.py) drops in via the same protocol for
   checkpoint-backed runs.
 
-All of this is host-side numpy — it runs once per box, off the hot path.
+Prompt extraction and mask selection are host-side numpy (once per box, off
+the hot path); a real segmenter's forward runs batched — all boxes of a
+pipeline batch in one `segment_batch` call (see refine_masks_from_boxes /
+refine_masks_from_attn).
 """
 
 from __future__ import annotations
@@ -107,56 +110,105 @@ def select_mask(masks: np.ndarray, conf_scores: np.ndarray,
     return masks[int(np.argmax(scores))]
 
 
-def refine_mask_from_attn(
-    attn_map: np.ndarray,       # (h, w) aggregated single-token attention
-    image,                      # decoded per-box image (for real segmenters)
+def _segment_many(segmenter: Segmenter, images, latent_hw,
+                  input_points=None, input_boxes=None):
+    """One prompt per image; uses the segmenter's batched forward when it has
+    one (FlaxSamSegmenter: every 1024² encoder pass in ONE compiled call),
+    else falls back to per-item segment. Returns list of (masks, conf)."""
+    batched = getattr(segmenter, "segment_batch", None)
+    if batched is not None:
+        return batched(images, input_points=input_points,
+                       input_boxes=input_boxes, target_hw=latent_hw)
+    n = len(images)
+    return [
+        segmenter.segment(
+            images[i],
+            input_points=None if input_points is None else input_points[i],
+            input_boxes=None if input_boxes is None else input_boxes[i],
+            target_hw=latent_hw)
+        for i in range(n)
+    ]
+
+
+def refine_masks_from_attn(
+    attn_maps,                  # list of (h, w) aggregated token attention
+    images,                     # decoded per-box images (for real segmenters)
     latent_hw: tuple[int, int],
     segmenter: Segmenter,
     cfg: RefineConfig = RefineConfig(),
-) -> np.ndarray:
-    """LMD mask path: smooth -> threshold -> point-or-box prompt -> segment ->
-    IoU-guided selection (sam.py:125-172). Returns (H, W) float mask at
-    latent resolution."""
-    sigma = cfg.gaussian_sigma_box if cfg.use_box_input else cfg.gaussian_sigma_point
-    smooth = ndimage.gaussian_filter(attn_map.astype(float), sigma=sigma)
+) -> list[np.ndarray]:
+    """LMD mask path, batched over boxes: smooth -> threshold ->
+    point-or-box prompt -> one batched segment -> IoU-guided selection per
+    box (sam.py:125-172). Returns (H, W) float masks at latent resolution."""
+    sigma = (cfg.gaussian_sigma_box if cfg.use_box_input
+             else cfg.gaussian_sigma_point)
+    coarses, prompts = [], []
+    for attn_map in attn_maps:
+        smooth = ndimage.gaussian_filter(attn_map.astype(float), sigma=sigma)
+        if cfg.use_box_input:
+            coarse = preprocess_mask(smooth, cfg.mask_th_for_box,
+                                     cfg.n_erode_dilate_mask_for_box)
+            ch, cw = coarse.shape
+            x0, y0, x1, y1 = boxlib.mask_to_box(coarse)
+            prompts.append([(x0 / cw, y0 / ch, x1 / cw, y1 / ch)])
+        else:
+            coarse = preprocess_mask(smooth, cfg.mask_th_for_point)
+            py, px = np.unravel_index(int(np.argmax(smooth)), smooth.shape)
+            prompts.append([(px / smooth.shape[1], py / smooth.shape[0])])
+        coarses.append(coarse)
 
-    if cfg.use_box_input:
-        coarse = preprocess_mask(smooth, cfg.mask_th_for_box,
-                                 cfg.n_erode_dilate_mask_for_box)
-        ch, cw = coarse.shape
-        x0, y0, x1, y1 = boxlib.mask_to_box(coarse)
-        box = (x0 / cw, y0 / ch, x1 / cw, y1 / ch)
-        masks, conf = segmenter.segment(image, input_boxes=[box],
-                                        target_hw=latent_hw)
-    else:
-        coarse = preprocess_mask(smooth, cfg.mask_th_for_point)
-        py, px = np.unravel_index(int(np.argmax(smooth)), smooth.shape)
-        point = (px / smooth.shape[1], py / smooth.shape[0])
-        masks, conf = segmenter.segment(image, input_points=[point],
-                                        target_hw=latent_hw)
+    results = _segment_many(
+        segmenter, images, latent_hw,
+        input_points=None if cfg.use_box_input else prompts,
+        input_boxes=prompts if cfg.use_box_input else None)
 
-    coarse_resized = resize_mask(coarse, *latent_hw).astype(bool)
-    ious = boxlib.mask_iou(coarse_resized, masks)
-    selected = select_mask(masks, conf, ious, cfg)
-    if cfg.use_box_input is False and isinstance(segmenter, CoarseSegmenter):
-        # The fallback point-disk carries no shape information; intersect with
-        # the thresholded attention for a tighter weightless mask.
-        selected = selected & coarse_resized
-        if not selected.any():
-            selected = coarse_resized
-    return selected.astype(np.float32)
+    out = []
+    for coarse, (masks, conf) in zip(coarses, results):
+        coarse_resized = resize_mask(coarse, *latent_hw).astype(bool)
+        ious = boxlib.mask_iou(coarse_resized, masks)
+        selected = select_mask(masks, conf, ious, cfg)
+        if (cfg.use_box_input is False
+                and isinstance(segmenter, CoarseSegmenter)):
+            # The fallback point-disk carries no shape information; intersect
+            # with the thresholded attention for a tighter weightless mask.
+            selected = selected & coarse_resized
+            if not selected.any():
+                selected = coarse_resized
+        out.append(selected.astype(np.float32))
+    return out
 
 
-def refine_mask_from_box(
-    box,                        # normalized xyxy
-    image,
+def refine_masks_from_boxes(
+    boxes,                      # list of normalized xyxy
+    images,
     latent_hw: tuple[int, int],
     segmenter: Segmenter,
     cfg: RefineConfig = RefineConfig(),
-) -> np.ndarray:
-    """LMD+ mask path: the target box is the prompt (sam.py:182-213)."""
+) -> list[np.ndarray]:
+    """LMD+ mask path, batched over boxes: each target box is its prompt
+    (sam.py:182-213); all boxes segment in one batched forward."""
     h, w = latent_hw
-    masks, conf = segmenter.segment(image, input_boxes=[box], target_hw=latent_hw)
-    coarse = boxlib.box_to_mask(box, h, w) > 0
-    ious = boxlib.mask_iou(coarse, masks)
-    return select_mask(masks, conf, ious, cfg).astype(np.float32)
+    results = _segment_many(segmenter, images, latent_hw,
+                            input_boxes=[[b] for b in boxes])
+    out = []
+    for box, (masks, conf) in zip(boxes, results):
+        coarse = boxlib.box_to_mask(box, h, w) > 0
+        ious = boxlib.mask_iou(coarse, masks)
+        out.append(select_mask(masks, conf, ious, cfg).astype(np.float32))
+    return out
+
+
+def refine_mask_from_attn(attn_map, image, latent_hw, segmenter,
+                          cfg: RefineConfig = RefineConfig()) -> np.ndarray:
+    """Single-box convenience wrapper over refine_masks_from_attn."""
+    [mask] = refine_masks_from_attn([attn_map], [image], latent_hw,
+                                    segmenter, cfg)
+    return mask
+
+
+def refine_mask_from_box(box, image, latent_hw, segmenter,
+                         cfg: RefineConfig = RefineConfig()) -> np.ndarray:
+    """Single-box convenience wrapper over refine_masks_from_boxes."""
+    [mask] = refine_masks_from_boxes([box], [image], latent_hw,
+                                     segmenter, cfg)
+    return mask

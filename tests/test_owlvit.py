@@ -33,6 +33,22 @@ def test_detector_shapes(tiny_detector):
     assert set(np.unique(labels)) <= {0, 1}
 
 
+def test_detector_query_bucket_padding_is_inert(tiny_detector):
+    """A 3-query call pads the query axis to 4; padded columns must not
+    change the real queries' scores (queries are independent in OWL-ViT)."""
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    texts = ["a photo of a cat", "a photo of a dog", "a photo of a car"]
+    _, scores3, labels3 = tiny_detector(image, texts)
+    for i in range(3):
+        _, s1, _ = tiny_detector(image, [texts[i]])
+        # scores are per-box max over queries; single-query scores bound it
+        assert (scores3 >= s1 - 1e-5).all()
+    _, scores2, _ = tiny_detector(image, texts[:2])
+    mask2 = labels3 < 2
+    np.testing.assert_allclose(scores3[mask2], scores2[mask2], atol=1e-5)
+
+
 def test_eval_prompt_with_planted_detections():
     """A fake detector with planted boxes must drive the predicates exactly."""
 

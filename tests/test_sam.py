@@ -47,6 +47,48 @@ def test_sam_segmenter_in_refine_path(tiny):
     assert mask2.shape == (16, 16)
 
 
+@pytest.mark.slow
+def test_sam_segment_batch_matches_singles(tiny):
+    """The batched forward (bucketed batch dim, -1-padded point slots) must
+    reproduce per-item results for both prompt kinds — including a batch
+    size (5) that exceeds the CHUNK cap (4) and pads the 1-item tail."""
+    cfg, _, params = tiny
+    seg = samlib.FlaxSamSegmenter(params, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    images = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(5)]
+    boxes = [[(0.1, 0.1, 0.6, 0.7)], [(0.3, 0.2, 0.9, 0.8)],
+             [(0.0, 0.4, 0.5, 1.0)], [(0.2, 0.0, 0.7, 0.5)],
+             [(0.4, 0.4, 1.0, 1.0)]]
+    points = [[(0.3, 0.4)], [(0.6, 0.5)], [(0.2, 0.8)], [(0.7, 0.2)],
+              [(0.5, 0.5)]]
+
+    for kw in ({"input_boxes": boxes}, {"input_points": points}):
+        batched = seg.segment_batch(images, target_hw=(16, 16), **kw)
+        for i, (masks_b, iou_b) in enumerate(batched):
+            single_kw = {k: [v[i][0]] for k, v in kw.items()}
+            masks_s, iou_s = seg.segment(images[i], target_hw=(16, 16),
+                                         **single_kw)
+            np.testing.assert_array_equal(masks_b, masks_s)
+            np.testing.assert_allclose(iou_b, iou_s, atol=1e-5)
+
+
+def test_refine_masks_batched_match_singles():
+    """Batched refine helpers == single-box wrappers (CoarseSegmenter)."""
+    seg = masking.CoarseSegmenter()
+    boxes = [(0.1, 0.1, 0.6, 0.7), (0.3, 0.2, 0.9, 0.8)]
+    out = masking.refine_masks_from_boxes(boxes, [None, None], (16, 16), seg)
+    for box, m in zip(boxes, out):
+        np.testing.assert_array_equal(
+            m, masking.refine_mask_from_box(box, None, (16, 16), seg))
+
+    rng = np.random.default_rng(1)
+    attns = [rng.random((8, 8)).astype(np.float32) for _ in range(2)]
+    out = masking.refine_masks_from_attn(attns, [None, None], (16, 16), seg)
+    for a, m in zip(attns, out):
+        np.testing.assert_array_equal(
+            m, masking.refine_mask_from_attn(a, None, (16, 16), seg))
+
+
 def _export_sam(params):
     """Inverse of convert_sam for the tiny module (tests the name mapping)."""
     sd = {}
