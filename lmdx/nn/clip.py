@@ -18,7 +18,8 @@ def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
     if name == "gelu":
-        return nn.gelu
+        # exact erf GELU (torch nn.GELU default), not the tanh approximation
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(name)
 
 

@@ -93,8 +93,10 @@ class BoxHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype, name="dense0")(x))
-        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype, name="dense1")(x))
+        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype,
+                            name="dense0")(x), approximate=False)
+        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype,
+                            name="dense1")(x), approximate=False)
         return nn.Dense(4, dtype=self.dtype, name="dense2")(x)
 
 

@@ -147,7 +147,7 @@ class SamEncoderBlock(nn.Module):
         x = residual + x
         y = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
         y = nn.Dense(cfg.encoder_dim * 4, dtype=self.dtype, name="lin1")(y)
-        y = nn.Dense(cfg.encoder_dim, dtype=self.dtype, name="lin2")(nn.gelu(y))
+        y = nn.Dense(cfg.encoder_dim, dtype=self.dtype, name="lin2")(nn.gelu(y, approximate=False))
         return x + y
 
 
@@ -350,10 +350,10 @@ class SamMaskDecoder(nn.Module):
         img = nn.ConvTranspose(dim // 4, (2, 2), strides=(2, 2),
                                dtype=self.dtype, name="upscale_conv1")(img)
         img = nn.LayerNorm(dtype=jnp.float32, name="upscale_ln")(img)
-        img = nn.gelu(img)
+        img = nn.gelu(img, approximate=False)
         img = nn.ConvTranspose(dim // 8, (2, 2), strides=(2, 2),
                                dtype=self.dtype, name="upscale_conv2")(img)
-        img = nn.gelu(img)  # (B, 4g, 4g, dim/8)
+        img = nn.gelu(img, approximate=False)  # (B, 4g, 4g, dim/8)
 
         hyper = jnp.stack([
             _MLP(dim, dim // 8, dtype=self.dtype,

@@ -38,6 +38,22 @@ class Timesteps(nn.Module):
         self.flip_sin_to_cos = flip_sin_to_cos
         self.downscale_freq_shift = downscale_freq_shift
 
+    def forward(self, timesteps):
+        # diffusers get_timestep_embedding (0.18), scale=1, max_period=1e4.
+        import math
+
+        import torch
+
+        half = self.num_channels // 2
+        exponent = -math.log(10000.0) * torch.arange(
+            half, dtype=torch.float32, device=timesteps.device)
+        exponent = exponent / (half - self.downscale_freq_shift)
+        emb = timesteps[:, None].float() * torch.exp(exponent)[None, :]
+        emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+        if self.flip_sin_to_cos:
+            emb = torch.cat([emb[:, half:], emb[:, :half]], dim=-1)
+        return emb
+
 
 class _NeverInstantiated(nn.Module):
     def __init__(self, *args, **kwargs):
