@@ -108,15 +108,17 @@ def make_gligen_inputs(
 
 
 def make_gligen_inputs_batched(bundle: ModelBundle, bboxes: list,
-                               phrases: list[str]):
+                               phrases: list[str], pooled=None):
     """Per-box grounding for the batched per-box passes: image i grounds
     only box i (slot 0). Returns (objs_full (2N, M, D), objs_cond (N, M, D))
-    with the uncond half's grounding nulled."""
+    with the uncond half's grounding nulled. `pooled` (N, D) lets callers
+    reuse phrase embeddings from a consolidated encode_text call."""
     from ..runtime import models as runtime_models
 
     n = len(bboxes)
     max_objs = bundle.config.unet.gligen_max_objs
-    _, pooled = runtime_models.encode_text(bundle, phrases)
+    if pooled is None:
+        _, pooled = runtime_models.encode_text(bundle, phrases)
     pooled = np.asarray(pooled)
 
     boxes = np.zeros((n, max_objs, 4), np.float32)

@@ -24,6 +24,8 @@ reference's process-level prompt sharding (reference generate.py:23-25).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,11 +134,17 @@ def run_grounded_batch(
             per_box_latents.extend(lat_list)
             latents_bg_per_image.append(np.asarray(lat_bg))
 
+        # ONE text-encoder call for prompts + negatives + GLIGEN phrases:
+        # over the chip tunnel every dispatch pays RTT, so consolidating the
+        # three encodes (and indexing the result on device) is a real win.
         so_prompts = [item[0] for _, item in flat]
-        cond, _ = runtime_models.encode_text(bundle, so_prompts)
-        uncond_unique, _ = runtime_models.encode_text(
-            bundle, [im["so_negative"] for im in images])
-        uncond = jnp.stack([uncond_unique[gi] for gi, _ in flat])
+        so_phrases = [item[1] for _, item in flat]
+        neg_prompts = [im["so_negative"] for im in images]
+        texts = so_prompts + neg_prompts + (so_phrases if p.use_gligen else [])
+        enc_hidden, enc_pooled = runtime_models.encode_text(bundle, texts)
+        cond = enc_hidden[:n_total]
+        uncond_unique = enc_hidden[n_total:n_total + len(images)]
+        uncond = uncond_unique[jnp.asarray([gi for gi, _ in flat])]
         text_embeddings = jnp.concatenate([uncond, cond], axis=0)
 
         word_token_indices = np.asarray([
@@ -147,8 +155,8 @@ def run_grounded_batch(
 
         gligen_inputs = (
             base.make_gligen_inputs_batched(
-                bundle, [item[3] for _, item in flat],
-                [item[1] for _, item in flat])
+                bundle, [item[3] for _, item in flat], so_phrases,
+                pooled=enc_pooled[n_total + len(images):])
             if p.use_gligen else None
         )
 
@@ -250,18 +258,29 @@ def run_grounded_batch(
             attn_maps, flat_images, latent_hw, segmenter, refine_cfg)
 
     flat_idx = 0
+    image_box_idxs = []
+    for im in images:
+        n_i = len(im["so_list"])
+        image_box_idxs.append(list(range(flat_idx, flat_idx + n_i)))
+        flat_idx += n_i
+
+    # Device-path composition runs as ONE jitted call over the whole batch
+    # (per-image device loops cost ~5 tunnel-RTT dispatches per image).
+    fg_np_batched = None
+    if n_total and on_device:
+        composed_batched, fg_np_batched = _compose_batch_device(
+            all_latents_dev, image_box_idxs, all_masks,
+            np.concatenate(latents_bg_per_image, axis=0), frozen_steps)
+
     for gi, im in enumerate(images):
         conv = im["conv"]
         so_list = im["so_list"]
         n_i = len(so_list)
-        idxs = list(range(flat_idx, flat_idx + n_i))
-        flat_idx += n_i
+        idxs = image_box_idxs[gi]
         mask_list = [all_masks[bi] for bi in idxs]
 
-        if n_i and on_device:
-            composed_latents, fg_idx = _compose_device(
-                all_latents_dev[:, idxs[0] : idxs[0] + n_i], mask_list,
-                jnp.asarray(latents_bg_per_image[gi]), frozen_steps)
+        if n_total and on_device:
+            fg_idx = fg_np_batched[gi]
             offsets = [(0.0, 0.0)] * n_i
         else:
             traj_list = ([all_latents_np[:, bi : bi + 1] for bi in idxs]
@@ -272,10 +291,9 @@ def run_grounded_batch(
                 align_with_overall_bboxes=p.align_with_overall_bboxes,
                 overall_bboxes=[x[2] for x in conv.overall_phrases_words_bboxes],
                 horizontal_shift_only=p.horizontal_shift_only)
-            composed_latents = jnp.asarray(host.latents)
+            composed_list.append(jnp.asarray(host.latents))
             fg_idx = host.foreground_indices
             offsets = host.offsets
-        composed_list.append(composed_latents)
         results_aux.append({
             "frozen_mask": (fg_idx != 0).astype(np.float32),
             "foreground_indices": fg_idx,
@@ -300,19 +318,18 @@ def run_grounded_batch(
         else:
             guid_raw.append({"bboxes": [], "positions": [], "wt": [],
                              "ref": []})
-        if p.use_ref_ca:
-            if n_i and on_device:
-                ref_raw.append(("dev", idxs))
-            else:
-                ref_taps_per_box = [
-                    {k: v[:, bi, :, :, 0] for k, v in taps_np.items()
-                     if k in p.guidance_attn_keys}
-                    for bi in idxs
-                ] if n_i else []
-                shifted = compose_lib.shift_ref_taps(
-                    ref_taps_per_box, offsets,
-                    horizontal_shift_only=p.horizontal_shift_only)
-                ref_raw.append(("host", shifted))
+        if p.use_ref_ca and not (n_total and on_device):
+            # Host path (alignment shifts). The device path is handled for
+            # the whole batch at once by _gather_ref_batched below.
+            ref_taps_per_box = [
+                {k: v[:, bi, :, :, 0] for k, v in taps_np.items()
+                 if k in p.guidance_attn_keys}
+                for bi in idxs
+            ] if n_i else []
+            shifted = compose_lib.shift_ref_taps(
+                ref_taps_per_box, offsets,
+                horizontal_shift_only=p.horizontal_shift_only)
+            ref_raw.append(("host", shifted))
         overall_prompts.append(overall_prompt)
         overall_negatives.append(im["overall_negative"])
 
@@ -333,33 +350,44 @@ def run_grounded_batch(
             ref_box_to_obj=g["ref"] if p.use_ref_ca else None,
             max_objs=o_pad, max_positions=p_pad, max_ref_boxes=bx_pad))
     for kind, payload in ref_raw:
-        if kind == "dev":
-            ref_list.append(_pad_ref_device(
-                taps_dev, payload, bx_pad, p, cfg, schedule.num_steps,
-                latent_hw, num_levels))
-        else:
-            ref_list.append({k: jnp.asarray(v) for k, v in _pad_ref(
-                payload, bx_pad, p, cfg, schedule.num_steps,
-                latent_hw, num_levels).items()})
+        ref_list.append({k: jnp.asarray(v) for k, v in _pad_ref(
+            payload, bx_pad, p, cfg, schedule.num_steps,
+            latent_hw, num_levels).items()})
 
     # ---- ONE batched overall pass -----------------------------------------
-    cond, _ = runtime_models.encode_text(bundle, overall_prompts)
-    uncond, _ = runtime_models.encode_text(bundle, overall_negatives)
+    # Consolidated text encode: overall prompts + negatives + GLIGEN phrase
+    # poolers in a single dispatch (see the per-box phase note).
+    all_phrases = _overall_phrases(images) if p.use_gligen else []
+    enc_hidden, enc_pooled = runtime_models.encode_text(
+        bundle, overall_prompts + overall_negatives + all_phrases)
+    cond = enc_hidden[:g_count]
+    uncond = enc_hidden[g_count:2 * g_count]
     text_embeddings = jnp.concatenate([uncond, cond], axis=0)
 
-    frozen_latents = jnp.concatenate(composed_list, axis=1)  # (S+1, G, H, W, C)
-    frozen_mask = jnp.asarray(np.stack(
-        [aux["frozen_mask"] for aux in results_aux]))      # (G, H, W)
+    if n_total and on_device:
+        frozen_latents = composed_batched        # (S+1, G, H, W, C)
+        frozen_mask = jnp.asarray(
+            (fg_np_batched != 0).astype(np.float32))  # (G, H, W)
+    else:
+        frozen_latents = jnp.concatenate(composed_list, axis=1)
+        frozen_mask = jnp.asarray(np.stack(
+            [aux["frozen_mask"] for aux in results_aux]))
     data_batched = guidance_lib.stack_guidance_data(data_list)
     ref_batched = None
-    if p.use_ref_ca and ref_list:
-        ref_batched = {
-            k: jnp.stack([jnp.asarray(r[k]) for r in ref_list], axis=1)
-            for k in ref_list[0]       # (T, G, Bx, heads, n)
-        }
+    if p.use_ref_ca:
+        if n_total and on_device:
+            ref_batched = _gather_ref_batched(
+                taps_dev, image_box_idxs, bx_pad, p.guidance_attn_keys)
+        elif ref_list:
+            ref_batched = {
+                k: jnp.stack([jnp.asarray(r[k]) for r in ref_list], axis=1)
+                for k in ref_list[0]   # (T, G, Bx, heads, n)
+            }
 
-    gligen_inputs = (_overall_gligen_batched(bundle, images)
-                     if p.use_gligen else None)
+    gligen_inputs = (
+        _overall_gligen_batched(
+            bundle, images, pooled=enc_pooled[2 * g_count:])
+        if p.use_gligen else None)
     frozen_latents = shard1(frozen_latents)
     if ref_batched is not None:
         ref_batched = {k: shard1(v) for k, v in ref_batched.items()}
@@ -392,49 +420,97 @@ def run_grounded_batch(
     return results
 
 
-def _compose_device(traj, mask_list, latents_bg, num_compose_steps):
-    """Device-side masked trajectory composition (no alignment shifts).
+@functools.partial(jax.jit, static_argnames=("s_plus",))
+def _compose_batch_jit(all_latents, idx_map, masks, box_masks, labels, bg,
+                       s_plus):
+    """Whole-batch masked trajectory composition, one compiled dispatch.
 
-    traj: (T+1, n_i, H, W, C) on device; mask_list: host (H, W) masks.
-    Mirrors compose_lib.compose_latents (largest mask first, box-to-bg copy
-    of the initial noise) without the host round trip."""
-    masks = [np.asarray(m, np.float32) for m in mask_list]
-    order = np.argsort([-m.sum() for m in masks])
-    s_plus = num_compose_steps + 1
-    h, w = masks[0].shape
+    all_latents: (T+1, B_flat, H, W, C); idx_map: (G, n_max) flat box index
+    per image in descending-mask-size order (padding rows point anywhere —
+    their masks are zero); masks/box_masks: (G, n_max, H, W) f32 ordered the
+    same way; labels: (G, n_max) original 1-based box index (0 = pad);
+    bg: (G, H, W, C). Mirrors compose_lib.compose_latents: box-to-bg copy of
+    the initial noise under the bbox, then largest-mask-first paste with
+    later (smaller) masks overwriting."""
+    traj = all_latents[:s_plus][:, idx_map]   # (s_plus, G, n_max, H, W, C)
+    n_max = idx_map.shape[1]
 
-    comp0 = latents_bg  # (1, H, W, C)
-    for idx in order:
-        box_mask = jnp.asarray(
-            boxlib.mask_to_box_mask(masks[idx]))[None, :, :, None]
-        comp0 = comp0 * (1.0 - box_mask) + traj[0, idx : idx + 1] * box_mask
+    comp0 = bg
+    for j in range(n_max):
+        bm = box_masks[:, j][..., None]                      # (G, H, W, 1)
+        comp0 = comp0 * (1.0 - bm) + traj[0, :, j] * bm
 
-    composed = jnp.zeros((s_plus,) + tuple(comp0.shape), comp0.dtype)
+    composed = jnp.zeros((s_plus,) + comp0.shape, comp0.dtype)
     composed = composed.at[0].set(comp0)
-    foreground_indices = np.zeros((h, w), np.int32)
-    for idx in order:
-        m = masks[idx]
-        foreground_indices = (foreground_indices * (m == 0)
-                              + (idx + 1) * (m > 0)).astype(np.int32)
-        me = jnp.asarray(m)[None, None, :, :, None]
-        composed = composed * (1.0 - me) + traj[:s_plus, idx : idx + 1] * me
-    return composed, foreground_indices
+    fg = jnp.zeros(masks.shape[:1] + masks.shape[2:], jnp.int32)  # (G, H, W)
+    for j in range(n_max):
+        m = masks[:, j]                                      # (G, H, W)
+        fg = jnp.where(m > 0, labels[:, j][:, None, None], fg)
+        me = m[None, :, :, :, None]                          # (1, G, H, W, 1)
+        composed = composed * (1.0 - me) + traj[:, :, j] * me
+    return composed, fg
 
 
-def _pad_ref_device(taps_dev, idxs, max_boxes, p, cfg, num_steps, latent_hw,
-                    num_levels):
-    """Device-side _pad_ref for the no-shift path: slice this image's boxes
-    out of the batched tap stacks and zero-pad the box axis."""
-    out = {}
-    for key in p.guidance_attn_keys:
-        stack = taps_dev[key][:, idxs[0] : idxs[0] + len(idxs), :, :, 0]
-        t_dim, n_i, heads, n = stack.shape
-        if n_i < max_boxes:
-            stack = jnp.concatenate(
-                [stack, jnp.zeros((t_dim, max_boxes - n_i, heads, n),
-                                  stack.dtype)], axis=1)
-        out[key] = stack
-    return out
+def _compose_batch_device(all_latents, image_box_idxs, mask_flat, latents_bg,
+                          num_compose_steps):
+    """Host-side prep for _compose_batch_jit: per-image mask ordering and
+    padding to a bucketed shared box count.
+
+    all_latents: (T+1, B_flat, H, W, C) device; image_box_idxs: per image the
+    flat box indices; mask_flat: flat list of host (H, W) masks; latents_bg:
+    (G, H, W, C) host. Returns (composed (S+1, G, H, W, C) device,
+    fg (G, H, W) np.int32)."""
+    g_count = len(image_box_idxs)
+    h, w = np.asarray(mask_flat[0]).shape if mask_flat else latents_bg.shape[1:3]
+    n_max = guidance_lib.bucket(max(
+        (len(idxs) for idxs in image_box_idxs), default=1))
+
+    idx_map = np.zeros((g_count, n_max), np.int32)
+    masks = np.zeros((g_count, n_max, h, w), np.float32)
+    box_masks = np.zeros_like(masks)
+    labels = np.zeros((g_count, n_max), np.int32)
+    for gi, idxs in enumerate(image_box_idxs):
+        ms = [np.asarray(mask_flat[bi], np.float32) for bi in idxs]
+        order = np.argsort([-m.sum() for m in ms]) if ms else []
+        for j, oi in enumerate(order):
+            idx_map[gi, j] = idxs[oi]
+            masks[gi, j] = ms[oi]
+            box_masks[gi, j] = boxlib.mask_to_box_mask(ms[oi])
+            labels[gi, j] = oi + 1
+
+    composed, fg = _compose_batch_jit(
+        all_latents, jnp.asarray(idx_map), jnp.asarray(masks),
+        jnp.asarray(box_masks), jnp.asarray(labels),
+        jnp.asarray(np.asarray(latents_bg, np.float32)),
+        s_plus=num_compose_steps + 1)
+    return composed, np.asarray(fg)
+
+
+@jax.jit
+def _gather_ref_jit(taps, idx_map, valid):
+    # NOTE: index in two steps — v[:, idx_map, :, :, 0] is *mixed* advanced
+    # indexing (array + separated integer), which moves the gathered dims to
+    # the front instead of keeping them in place.
+    return {
+        k: v[..., 0][:, idx_map] * valid[None, :, :, None, None]
+        for k, v in taps.items()
+    }
+
+
+def _gather_ref_batched(taps_dev, image_box_idxs, max_boxes, keys):
+    """Device-path reference-CA padding for the whole batch: one gather per
+    key over the flat tap stacks -> {key: (T, G, Bx, heads, n)} with padded
+    box rows zeroed (replaces per-image slicing + stacking)."""
+    g_count = len(image_box_idxs)
+    idx_map = np.zeros((g_count, max_boxes), np.int32)
+    valid = np.zeros((g_count, max_boxes), np.float32)
+    for gi, idxs in enumerate(image_box_idxs):
+        n_i = min(len(idxs), max_boxes)
+        idx_map[gi, :n_i] = idxs[:n_i]
+        valid[gi, :n_i] = 1.0
+    return _gather_ref_jit(
+        {k: taps_dev[k] for k in keys},
+        jnp.asarray(idx_map), jnp.asarray(valid))
 
 
 def _key_heads(key, cfg):
@@ -468,7 +544,19 @@ def _pad_ref(shifted, max_boxes, p, cfg, num_steps, latent_hw, num_levels):
     return out
 
 
-def _overall_gligen_batched(bundle, images):
+def _overall_phrases(images) -> list[str]:
+    """Flat per-box phrase list across the batch, in _overall_gligen_batched
+    span order — lets callers fold the phrase encode into a consolidated
+    encode_text call and inject the pooled slice back via `pooled`."""
+    out = []
+    for im in images:
+        conv = im["conv"]
+        out.extend(ph for ph, _, bs in conv.overall_phrases_words_bboxes
+                   for _ in bs)
+    return out
+
+
+def _overall_gligen_batched(bundle, images, pooled=None):
     """Per-image overall grounding: image i grounds all of its boxes."""
     max_objs = bundle.config.unet.gligen_max_objs
     g_count = len(images)
@@ -485,8 +573,10 @@ def _overall_gligen_batched(bundle, images):
         spans.append((len(all_phrases), phrases, boxes))
         all_phrases.extend(phrases)
 
-    pooled = (np.asarray(runtime_models.encode_text(bundle, all_phrases)[1])
-              if all_phrases else np.zeros((0, width), np.float32))
+    if pooled is None and all_phrases:
+        pooled = runtime_models.encode_text(bundle, all_phrases)[1]
+    pooled = (np.asarray(pooled) if all_phrases
+              else np.zeros((0, width), np.float32))
 
     boxes_arr = np.zeros((g_count, max_objs, 4), np.float32)
     embs = np.zeros((g_count, max_objs, width), np.float32)
