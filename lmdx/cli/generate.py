@@ -66,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--scheduler", default=None,
                         help="DDIM (default) or DPMSolverMultistep/dpmpp_2m")
     parser.add_argument("--image-batch-size", default=1, type=int,
-                        help="lmd_plus only: generate N prompts per batched "
+                        help="lmd / lmd_plus: generate N prompts per batched "
                              "pipeline invocation (throughput mode)")
     parser.add_argument("--mesh", default=None,
                         help="shard the batched pipeline over a device mesh: "
@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sam-checkpoint", default=None,
                         help="transformers SAM checkpoint dir for mask "
                              "refinement; default: coarse box/attention masks")
+    parser.add_argument("--no-center-or-align", action="store_true",
+                        help="skip per-box centered generation + alignment "
+                             "(reference generate.py:45,202-204)")
+    parser.add_argument("--multidiffusion_bootstrapping", default=20,
+                        type=int)
     for name in FLOAT_ARGS:
         parser.add_argument("--" + name, default=None, type=float)
     for name in INT_ARGS:
@@ -114,6 +119,9 @@ def collect_run_kwargs(args) -> dict:
         if name in BOOL_INT_ARGS:
             value = bool(value)
         run_kwargs[name] = value
+    if args.no_center_or_align:  # reference generate.py:202-204
+        run_kwargs["align_with_overall_bboxes"] = False
+        run_kwargs["so_center_box"] = False
     return run_kwargs
 
 
@@ -273,6 +281,9 @@ def main(argv=None) -> int:
                     call_kwargs = dict(run_kwargs)
                     if args.scheduler and args.run_model != "multidiffusion":
                         call_kwargs["scheduler"] = args.scheduler
+                    if args.run_model == "multidiffusion":
+                        call_kwargs["bootstrapping"] = (
+                            args.multidiffusion_bootstrapping)
                     if args.run_model in ("lmd", "lmd_plus"):
                         call_kwargs["fg_seed_start"] = ind + ind_offset + LARGE_CONSTANT
                         call_kwargs["segmenter"] = segmenter
@@ -280,6 +291,11 @@ def main(argv=None) -> int:
                             call_kwargs["overall_prompt_override"] = prompt
                     result = method.run(spec, bundle, bg_seed=seed, **call_kwargs)
                     image = result.image
+                    if result.aux.get("masks"):
+                        # Colored mask composite (reference parse.show_masks,
+                        # saved as masks.png by multidiffusion.py:384).
+                        vis.mask_overlay(result.aux["masks"]).save(
+                            f"{img_dir}/masks_{repeat_ind}.png")
                     for so_ind, so_img in enumerate(result.so_img_list):
                         Image.fromarray(so_img).save(
                             f"{img_dir}/so_{repeat_ind}_{so_ind}.png")
@@ -388,6 +404,10 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
         for job, result in zip(group, results):
             os.makedirs(job["img_dir"], exist_ok=True)
             image = result.image
+            if result.aux.get("masks"):
+                from ..utils import vis
+                vis.mask_overlay(result.aux["masks"]).save(
+                    f"{job['img_dir']}/masks_{job['repeat']}.png")
             if sdxl_refiner is not None:
                 image = sdxl_refiner.refine(
                     image, job["spec"],

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     parser.add_argument("--nms_threshold", default=0.15, type=float)
     parser.add_argument("--no-class-aware-nms", action="store_true")
     parser.add_argument("--skip_first_prompts", default=0, type=int)
+    parser.add_argument("--run_start_ind", default=0, type=int,
+                        help="directory-index offset vs prompt index "
+                             "(reference owl_vit_eval.py:22)")
     parser.add_argument("--num_prompts", default=None, type=int)
     parser.add_argument("--repeats", default=1, type=int)
     parser.add_argument("--verbose", action="store_true")
@@ -68,6 +71,7 @@ def main(argv=None) -> int:
         prompt_type=args.prompt_type, model=args.model,
         skip_first_prompts=args.skip_first_prompts,
         num_prompts=args.num_prompts, repeats=args.repeats,
+        run_start_ind=args.run_start_ind,
         score_threshold=args.detection_score_threshold,
         nms_threshold=args.nms_threshold,
         use_class_aware_nms=not args.no_class_aware_nms,

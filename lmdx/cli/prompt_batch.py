@@ -40,6 +40,12 @@ def main(argv=None) -> int:
     parser.add_argument("--api-key", default="")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--no-visualize", action="store_true",
+                        help="skip boxes_{ind}.png layout renderings "
+                             "(reference prompt_batch.py:26)")
+    parser.add_argument("--visualize-cache-hit", action="store_true",
+                        help="also render layouts for cache hits "
+                             "(reference prompt_batch.py:109-116)")
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -58,6 +64,28 @@ def main(argv=None) -> int:
                                        args.model, args.cache_dir))
     prompts = get_prompts(args.prompt_type, model=args.model)
 
+    # Layout renderings (reference prompt_batch.py:38-41 img_dir convention).
+    vis_dir = (f"img_generations/imgs_{args.prompt_type}"
+               f"_template{args.template_version}")
+
+    def visualize(ind: int, resp: str) -> None:
+        if args.no_visualize:
+            return
+        import os
+
+        from ..utils import vis
+
+        try:
+            layout = parse_layout_response(resp)
+        except ParseError as e:
+            print(f"[{ind}] cannot visualize (parse error): {e}")
+            return
+        boxes = filter_boxes(layout.gen_boxes)
+        os.makedirs(vis_dir, exist_ok=True)
+        vis.draw_boxes(boxes, bg_prompt=layout.bg_prompt,
+                       neg_prompt=layout.neg_prompt).save(
+            f"{vis_dir}/boxes_{ind}.png")
+
     for ind, prompt in enumerate(prompts):
         if isinstance(prompt, list):
             prompt = prompt[0]
@@ -69,6 +97,8 @@ def main(argv=None) -> int:
 
         if prompt in cache:
             print(f"[{ind}] cached: {prompt}")
+            if args.visualize_cache_hit:
+                visualize(ind, cache.get(prompt))
             continue
         if not args.auto_query:
             print(f"[{ind}] NOT cached (run with --auto-query or paste manually): {prompt}")
@@ -85,6 +115,7 @@ def main(argv=None) -> int:
                 continue
             cache.add(prompt, resp)
             print(f"[{ind}] saved layout for: {prompt}")
+            visualize(ind, resp)
             break
         else:
             print(f"[{ind}] giving up after {args.max_retries} attempts: {prompt}")

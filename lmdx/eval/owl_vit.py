@@ -128,11 +128,14 @@ def evaluate_run(
     skip_first_prompts: int = 0,
     num_prompts: int | None = None,
     repeats: int = 1,
+    run_start_ind: int = 0,
     verbose: bool = False,
     **eval_kwargs,
 ) -> EvalReport:
     """Walk a generation run directory ({ind}/img_{r}.png) and score every
-    image (reference owl_vit_eval.py:61-102)."""
+    image (reference owl_vit_eval.py:61-102). run_start_ind offsets the
+    directory index relative to the prompt index (owl_vit_eval.py:22,61),
+    for scoring a run produced with --skip_first_prompts."""
     from PIL import Image
 
     prompts = get_prompts(prompt_type, model=model)
@@ -146,7 +149,8 @@ def evaluate_run(
         if num_prompts is not None and ind >= skip_first_prompts + num_prompts:
             continue
         for repeat in range(repeats):
-            path = os.path.join(run_base_path, str(ind), f"img_{repeat}.png")
+            path = os.path.join(run_base_path, str(ind + run_start_ind),
+                                f"img_{repeat}.png")
             if not os.path.exists(path):
                 if verbose:
                     print(f"missing image: {path}")

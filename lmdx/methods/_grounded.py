@@ -395,6 +395,7 @@ def run_grounded(spec, bundle, p: GroundedParams,
     images = base.decode_latents(bundle, out.latents)
     return base.GenerationResult(
         image=images[0], so_img_list=so_images,
-        aux={"frozen_mask": frozen_mask,
+        aux={"masks": mask_list,
+             "frozen_mask": frozen_mask,
              "foreground_indices": composed.foreground_indices},
     )

@@ -298,6 +298,7 @@ def run_grounded_batch(
             "frozen_mask": (fg_idx != 0).astype(np.float32),
             "foreground_indices": fg_idx,
             "so_image_ids": idxs,
+            "masks": mask_list,
         })
 
         phrases = [x[0] for x in conv.overall_phrases_words_bboxes]
@@ -416,7 +417,8 @@ def run_grounded_batch(
         results.append(base.GenerationResult(
             image=final_images[gi], so_img_list=so_imgs,
             aux={"frozen_mask": np.asarray(aux["frozen_mask"]),
-                 "foreground_indices": aux["foreground_indices"]}))
+                 "foreground_indices": aux["foreground_indices"],
+                 "masks": aux["masks"]}))
     return results
 
 

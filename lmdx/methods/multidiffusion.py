@@ -223,4 +223,5 @@ def run(
             normalization, bundle.params["unet"], schedule, latent, xs, consts)
 
     images = base.decode_latents(bundle, latent)
-    return base.GenerationResult(image=images[0])
+    return base.GenerationResult(
+        image=images[0], aux={"masks": fg_masks})

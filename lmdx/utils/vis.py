@@ -84,6 +84,24 @@ class RunSaver:
         return path
 
 
+def mask_overlay(masks, size: int | None = None, seed: int = 0) -> Image.Image:
+    """Composite all masks into ONE image, each with its own random bright
+    color (reference parse.show_masks, utils/parse.py:293-302: colors drawn
+    uniform in [0.4, 1.0) per mask, overlapping masks sum). Seeded here so
+    artifacts are reproducible."""
+    rng = np.random.default_rng(seed)
+    masks = [np.asarray(m, np.float32) for m in masks]
+    h, w = masks[0].shape if masks else (64, 64)
+    out = np.zeros((h, w, 3), np.float32)
+    for m in masks:
+        color = rng.random(3) * 0.6 + 0.4
+        out += m[..., None] * color[None, None, :]
+    img = Image.fromarray((np.clip(out, 0.0, 1.0) * 255).astype(np.uint8))
+    if size:
+        img = img.resize((size, size), Image.NEAREST)
+    return img
+
+
 def _colormap(x: np.ndarray) -> np.ndarray:
     """Map [0,1] floats to an RGB heat ramp (black->purple->orange->yellow),
     a dependency-free stand-in for matplotlib's inferno-style maps."""

@@ -27,7 +27,9 @@ def server():
     thread.join(timeout=5)
 
 
-def test_prompt_batch_auto_query_populates_cache(server, tmp_path, capsys):
+def test_prompt_batch_auto_query_populates_cache(server, tmp_path, capsys,
+                                                 monkeypatch):
+    monkeypatch.chdir(tmp_path)  # layout renderings go under cwd
     argv = [
         "--prompt-type", "demo", "--model", "gpt-4", "--auto-query",
         "--cache-dir", str(tmp_path),
@@ -40,11 +42,21 @@ def test_prompt_batch_auto_query_populates_cache(server, tmp_path, capsys):
     cache = json.load(open(cache_path))
     assert len(cache) == 3
     assert all(v == [VALID_RESPONSE] for v in cache.values())
+    # Layout renderings saved per prompt (reference prompt_batch.py:92).
+    vis_dir = tmp_path / "img_generations" / "imgs_demo_templatev0.1"
+    assert sorted(os.listdir(vis_dir)) == [
+        "boxes_0.png", "boxes_1.png", "boxes_2.png"]
 
-    # Second run: everything served from cache, no new HTTP traffic.
+    # Second run: everything served from cache, no new HTTP traffic, and no
+    # re-rendering unless --visualize-cache-hit is passed.
     assert prompt_batch.main(argv) == 0
     assert len(server.requests) == 3
     assert "cached" in capsys.readouterr().out
+
+    for f in vis_dir.iterdir():
+        f.unlink()
+    assert prompt_batch.main(argv + ["--visualize-cache-hit"]) == 0
+    assert len(os.listdir(vis_dir)) == 3
 
 
 def test_prompt_batch_retries_on_malformed(server, tmp_path, monkeypatch):
@@ -81,6 +93,20 @@ def test_generate_dry_run(tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.count("spec:") == 3
     assert "gen_boxes" in out
+
+
+def test_generate_flag_parity():
+    """Flags mirrored from the reference CLI surface parse and map into
+    run_kwargs (generate.py:45,94,202-204)."""
+    parser = gen_cli.build_parser()
+    args = parser.parse_args([
+        "--no-center-or-align", "--multidiffusion_bootstrapping", "7"])
+    assert args.multidiffusion_bootstrapping == 7
+    kwargs = gen_cli.collect_run_kwargs(args)
+    assert kwargs["align_with_overall_bboxes"] is False
+    assert kwargs["so_center_box"] is False
+    assert "align_with_overall_bboxes" not in gen_cli.collect_run_kwargs(
+        parser.parse_args([]))
 
 
 def test_webui_page_and_generate():

@@ -81,6 +81,9 @@ def test_lmd(bundle):
     # The composed foreground must cover some latent area for both objects.
     assert result.aux["frozen_mask"].sum() > 0
     assert set(np.unique(result.aux["foreground_indices"])) >= {0, 1, 2}
+    # Per-box masks are exposed for the masks.png artifact
+    # (reference parse.show_masks).
+    assert len(result.aux["masks"]) == 2
 
 
 def test_lmd_plus(bundle):
@@ -123,6 +126,8 @@ def test_multidiffusion(bundle):
     result = methods.multidiffusion.run(
         SPEC, bundle, steps=6, bootstrapping=3)
     _check_image(result, bundle)
+    # Region masks exposed for masks.png (reference multidiffusion.py:384).
+    assert len(result.aux["masks"]) == len(SPEC["gen_boxes"])
     # Reference-style signature also works.
     result2 = methods.multidiffusion.run(
         gen_boxes=SPEC["gen_boxes"], bg_prompt=SPEC["bg_prompt"],

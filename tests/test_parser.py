@@ -162,3 +162,18 @@ def test_vis_heatmap_suite():
     assert ml.size == (256 * 3, 256 + 14)
     traj = vis.latent_trajectory_strip(rng.rand(11, 1, 8, 8, 4), stride=5)
     assert traj.size == (96 * 3, 96 + 14)
+
+    # mask_overlay (reference parse.show_masks): disjoint masks get distinct
+    # colors, empty list renders, overlap saturates instead of wrapping.
+    m1 = np.zeros((16, 16), np.float32)
+    m1[:8] = 1.0
+    m2 = np.zeros((16, 16), np.float32)
+    m2[8:] = 1.0
+    ov = vis.mask_overlay([m1, m2], size=32)
+    assert ov.size == (32, 32)
+    arr = np.asarray(vis.mask_overlay([m1, m2]))
+    assert arr[0, 0].any() and arr[15, 15].any()
+    assert not np.array_equal(arr[0, 0], arr[15, 15])
+    both = np.asarray(vis.mask_overlay([m1, m1 * 0 + 1.0]))
+    assert both.max() <= 255
+    assert vis.mask_overlay([]).size == (64, 64)
