@@ -83,9 +83,12 @@ def make_gligen_inputs(
 ):
     """Pack GLIGEN grounding for CFG sampling.
 
-    Returns (objs_full (2B, M, D), objs_cond (B, M, D)) — the CFG-doubled
-    grounding tokens (uncond half nulled) and the cond-only tokens for
-    guidance forwards. Parity: models/pipelines.py:285-321.
+    Returns (objs_full (2B, M, D), objs_guidance (B, M, D)) — the CFG-doubled
+    grounding tokens (uncond half nulled) and the tokens for guidance
+    forwards. Parity: models/pipelines.py:285-321 and :378-388 — the
+    reference's guidance kwargs take the FIRST half of the CFG-doubled
+    condition, whose masks were zeroed for CFG, so guidance forwards see
+    null grounding tokens (the fuser runs, but attends to null features).
     """
     from ..runtime import models as runtime_models
 
@@ -103,16 +106,18 @@ def make_gligen_inputs(
         num_images_per_prompt=batch_size, cfg_double=True,
     )
     objs_full = runtime_models.gligen_objs(bundle, boxes, masks, embs)
-    objs_cond = objs_full[objs_full.shape[0] // 2 :]
-    return objs_full, objs_cond
+    objs_guidance = objs_full[: objs_full.shape[0] // 2]
+    return objs_full, objs_guidance
 
 
 def make_gligen_inputs_batched(bundle: ModelBundle, bboxes: list,
                                phrases: list[str], pooled=None):
     """Per-box grounding for the batched per-box passes: image i grounds
-    only box i (slot 0). Returns (objs_full (2N, M, D), objs_cond (N, M, D))
-    with the uncond half's grounding nulled. `pooled` (N, D) lets callers
-    reuse phrase embeddings from a consolidated encode_text call."""
+    only box i (slot 0). Returns (objs_full (2N, M, D), objs_guidance
+    (N, M, D)) with the uncond half's grounding nulled; guidance forwards
+    take the nulled half (reference pipelines.py:378-388, see
+    make_gligen_inputs). `pooled` (N, D) lets callers reuse phrase
+    embeddings from a consolidated encode_text call."""
     from ..runtime import models as runtime_models
 
     n = len(bboxes)
@@ -132,7 +137,7 @@ def make_gligen_inputs_batched(bundle: ModelBundle, bboxes: list,
     embs2 = np.concatenate([embs, embs], axis=0)
     masks2 = np.concatenate([np.zeros_like(masks), masks], axis=0)
     objs_full = runtime_models.gligen_objs(bundle, boxes2, masks2, embs2)
-    return objs_full, objs_full[n:]
+    return objs_full, objs_full[:n]
 
 
 def spec_get(spec, key, default=None):

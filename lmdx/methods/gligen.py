@@ -41,7 +41,7 @@ def run(
     uncond, cond = runtime_models.encode_prompts(bundle, [prompt], negative_prompt)
     text_embeddings = jnp.concatenate([uncond, cond], axis=0)
 
-    objs_full, objs_cond = base.make_gligen_inputs(bundle, bboxes, phrases)
+    objs_full, objs_null = base.make_gligen_inputs(bundle, bboxes, phrases)
 
     shape = (1, cfg.latent_height, cfg.latent_width, 4)
     latents = latents_lib.noise_from_seed(bg_seed, shape) * schedule.init_noise_sigma
@@ -49,7 +49,7 @@ def run(
     out = sample(
         bundle.unet, bundle.params["unet"], schedule, latents, text_embeddings,
         guidance_scale=guidance_scale,
-        gligen=(objs_full, objs_cond),
+        gligen=(objs_full, objs_null),
         num_fuser_steps=int(gligen_scheduled_sampling_beta * schedule.num_steps),
         solver=scheduler,
     )

@@ -141,7 +141,12 @@ def make_boxdiff_data(bboxes, object_positions, spec: BoxDiffSpec,
 
 def _gaussian_kernel(kernel_size: int, sigma: float) -> np.ndarray:
     ax = np.arange(kernel_size) - (kernel_size - 1) / 2
-    g = np.exp(-(ax**2) / (2 * sigma**2))
+    # NOT the textbook exp(-x^2 / (2 sigma^2)): the reference's
+    # GaussianSmoothing (utils/attn.py:105-108, inherited from the
+    # attend-and-excite lineage) computes exp(-(x / (2 sigma))^2), i.e. an
+    # effective std of sigma*sqrt(2). Reproduced exactly for loss parity
+    # (verified numerically in tests/test_pipeline_parity.py).
+    g = np.exp(-((ax / (2.0 * sigma)) ** 2))
     k = np.outer(g, g)
     return (k / k.sum()).astype(np.float32)
 

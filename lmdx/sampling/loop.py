@@ -319,16 +319,16 @@ def sample(
 def _invert_scan(unet, guidance_scale, params, schedule: sched.Schedule,
                  latents, text_embeddings, xs):
     def step(latents, x):
-        if guidance_scale > 1.0:
+        if guidance_scale > 0.0:
             latent_in = jnp.concatenate([latents, latents], axis=0)
             eps = apply_unet(unet, params, latent_in, x["t"], text_embeddings)[0]
             eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
             eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
         else:
-            # Inversion is more stable without CFG (reference default
-            # cfg 1.0 uses the cond half only, pipelines.py:489-539).
-            cond = text_embeddings[text_embeddings.shape[0] // 2 :]
-            eps = apply_unet(unet, params, latents, x["t"], cond)[0]
+            # guidance_scale <= 0: uncond-only forward, exactly like the
+            # reference's else branch (pipelines.py:519-528).
+            uncond = text_embeddings[: text_embeddings.shape[0] // 2]
+            eps = apply_unet(unet, params, latents, x["t"], uncond)[0]
         latents = sched.ddim_inverse_step(schedule, eps, x["t"], x["next_t"],
                                           latents)
         return latents, latents
@@ -337,7 +337,7 @@ def _invert_scan(unet, guidance_scale, params, schedule: sched.Schedule,
 
 
 def invert(unet, params, schedule: sched.Schedule, latents: jnp.ndarray,
-           text_embeddings: jnp.ndarray, guidance_scale: float = 1.0):
+           text_embeddings: jnp.ndarray, guidance_scale: float = 7.5):
     """DDIM inversion x_0 -> x_T (reference models/pipelines.py:489-539).
 
     Walks the timestep grid in reverse (ascending t), returning the final

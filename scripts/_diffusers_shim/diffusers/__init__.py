@@ -8,5 +8,13 @@ vendored files import are provided; parameterized modules reproduce the
 exact diffusers-0.18 parameter naming (that naming IS the checkpoint
 contract being extracted). Forward passes are not needed and mostly omitted.
 
-NOT a runtime dependency of lmdx — used only at manifest-generation time.
+NOT a runtime dependency of lmdx — used only at manifest-generation and
+parity-test time.
 """
+
+from .schedulers import (  # noqa: F401  (reference models/models.py:3)
+    AutoencoderKL,
+    DDIMInverseScheduler,
+    DDIMScheduler,
+    DPMSolverMultistepScheduler,
+)

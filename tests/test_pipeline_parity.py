@@ -1,0 +1,499 @@
+"""Pipeline-LEVEL numeric parity vs the reference's own sampler code.
+
+`tests/test_torch_parity.py` proves the *modules* (UNet, taps, CLIP, SAM,
+OWL-ViT) compute the same function. These tests go one level up: they run
+the reference's actual `models/pipelines.py` denoising loops — imported
+from /root/reference over the structural diffusers shim, on torch CPU —
+against lmdx's segmented-`lax.scan` sampler (`lmdx/sampling/loop.py`) with
+identical tiny-UNet weights, embeddings, and initial latents, and assert
+the latent trajectories match numerically.
+
+That pins, end to end against the reference implementation itself:
+  - DDIM schedule + step math (shim scheduler transcribes diffusers 0.18;
+    lmdx core/schedule.py was written independently),
+  - CFG combination order (uncond first, pipelines.py:214-215),
+  - the guidance while-loop semantics: de-scaled loss threshold, per-index
+    max_iter list extension, update latents -= grad * sqrt(1 - alpha_bar_t)
+    (pipelines.py:16-82),
+  - `compute_ca_lossv3` (topk fg/bg energies, per-position normalization,
+    object x key averaging; utils/guidance.py:91-148,244-286),
+  - the ref-CA attention-transfer loss (utils/guidance.py:150-242),
+  - GLIGEN scheduled sampling, the CFG-masked grounding condition, the
+    null-grounding guidance forward (pipelines.py:285-321,378-427), and
+  - frozen-mask latent splicing (pipelines.py:445-446).
+
+All tests are slow (tiny-UNet jit compiles per segment).
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests.test_torch_parity import _load_vendored_unet_module, _to_np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+_memo: dict = {}
+
+
+class _CpuTorchProxy:
+    """Stands in for the `torch` module attribute of reference modules whose
+    tensor constructors hard-code device="cuda" (utils/guidance.py:104,204,
+    253): strips the device kwarg so the math runs on CPU."""
+
+    def __getattr__(self, name):
+        return getattr(torch, name)
+
+    @staticmethod
+    def zeros(*args, **kwargs):
+        kwargs.pop("device", None)
+        return torch.zeros(*args, **kwargs)
+
+    @staticmethod
+    def tensor(*args, **kwargs):
+        kwargs.pop("device", None)
+        return torch.tensor(*args, **kwargs)
+
+
+def _load_reference_pipelines():
+    """Import /root/reference's models/pipelines.py + utils/* on torch CPU.
+
+    Reference modules land in sys.modules under "utils"/"refmodels"; the
+    diffusers/easydict shims under scripts/_diffusers_shim satisfy the
+    reference's third-party imports (models/models.py:3-5)."""
+    if "pipelines" in _memo:
+        return _memo["pipelines"]
+
+    shim = os.path.join(REPO, "scripts", "_diffusers_shim")
+    for p in (shim, REFERENCE):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+    # .cuda() no-ops (utils/guidance.py:186,191,253,262,273; the boxdiff
+    # GaussianSmoothing module, utils/boxdiff.py:77).
+    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+    torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+
+    _load_vendored_unet_module()  # registers the "refmodels" package
+    refmodels = sys.modules["refmodels"]
+    if not hasattr(refmodels, "__package__"):
+        refmodels.__package__ = "refmodels"
+
+    utils_mod = importlib.import_module("utils")
+    for name in ("guidance", "schedule", "boxdiff", "latents"):
+        importlib.import_module(f"utils.{name}")
+    # Route every torch_device consumer to CPU.
+    utils_mod.torch_device = "cpu"
+    sys.modules["utils.utils"].torch_device = "cpu"
+    sys.modules["utils.latents"].torch_device = "cpu"
+    for name in ("guidance", "boxdiff"):
+        sys.modules[f"utils.{name}"].torch = _CpuTorchProxy()
+
+    models_mod = importlib.import_module("refmodels.models")
+    models_mod.torch_device = "cpu"
+    pipelines = importlib.import_module("refmodels.pipelines")
+    pipelines.torch_device = "cpu"
+
+    _memo["pipelines"] = pipelines
+    return pipelines
+
+
+class _StubVAE:
+    """decode() consumer only (pipelines.decode discards precision anyway;
+    the parity comparison is on latents, not pixels)."""
+
+    class _Out:
+        def __init__(self, sample):
+            self.sample = sample
+
+    class config:  # noqa: N801
+        scaling_factor = 0.18215
+
+    def decode(self, z):
+        return self._Out(z[:, :3])
+
+
+def _tiny_pair(use_gligen: bool):
+    """(torch vendored-fork UNet, lmdx flax UNet + converted params, cfg)."""
+    import dataclasses
+
+    from lmdx import config as cfglib
+    from lmdx.nn import unet as unet_lib
+    from lmdx.runtime.convert import convert_position_net, convert_unet
+
+    unet_mod = _load_vendored_unet_module()
+    cfg = cfglib.tiny_test()
+    ucfg = cfg.unet
+    if not use_gligen:
+        ucfg = dataclasses.replace(ucfg, use_gligen=False)
+        cfg = dataclasses.replace(cfg, unet=ucfg)
+
+    torch.manual_seed(0)
+    tm = unet_mod.UNet2DConditionModel(
+        sample_size=16,
+        in_channels=4,
+        out_channels=4,
+        down_block_types=ucfg.down_block_types,
+        up_block_types=ucfg.up_block_types,
+        block_out_channels=ucfg.block_out_channels,
+        layers_per_block=ucfg.layers_per_block,
+        cross_attention_dim=ucfg.cross_attention_dim,
+        attention_head_dim=ucfg.num_attention_heads[0],
+        norm_num_groups=ucfg.norm_num_groups,
+        use_gated_attention=use_gligen,
+    ).eval()
+    if use_gligen:
+        with torch.no_grad():
+            for name, p in tm.named_parameters():
+                if "alpha_attn" in name:
+                    p.fill_(0.6)
+                elif "alpha_dense" in name:
+                    p.fill_(-0.3)
+                elif "null_positive_feature" in name or \
+                        "null_position_feature" in name:
+                    p.normal_(0.0, 0.5)
+    sd = _to_np(tm.state_dict())
+    params = convert_unet(sd, cfg)
+    pn_params = convert_position_net(sd) if use_gligen else None
+    fm = unet_lib.UNet2DCondition(ucfg)
+    return tm, fm, params, pn_params, cfg
+
+
+def _embeddings(rng, L=8, D=32):
+    uncond = rng.standard_normal((1, L, D)).astype(np.float32)
+    cond = rng.standard_normal((1, L, D)).astype(np.float32)
+    text = np.concatenate([uncond, cond], axis=0)
+    return text, uncond, cond
+
+
+def _model_dict(tm, scheduler, tokenizer=None, text_encoder=None):
+    from easydict import EasyDict
+
+    return EasyDict(
+        vae=_StubVAE(), tokenizer=tokenizer, text_encoder=text_encoder,
+        unet=tm, scheduler=scheduler, dtype=torch.float32)
+
+
+def _nhwc(x_torch):
+    return np.asarray(x_torch.detach()).transpose(0, 2, 3, 1)
+
+
+STEPS = 6
+KEYS = (("mid", 0, 0, 0), ("up", 1, 0, 0), ("up", 1, 1, 0))
+BBOXES = [[0.1, 0.1, 0.6, 0.6], [0.5, 0.55, 0.9, 0.95]]
+POSITIONS = [[2], [4, 5]]
+
+
+def _guidance_kwargs(**overrides):
+    kw = dict(
+        loss_scale=3.0, loss_threshold=0.0, max_iter=[2, 2, 1],
+        max_index_step=4, guidance_attn_keys=KEYS,
+        use_ratio_based_loss=False, fg_top_p=0.2, bg_top_p=0.2,
+        fg_weight=1.0, bg_weight=4.0, verbose=False)
+    kw.update(overrides)
+    return kw
+
+
+def _lmdx_spec_data(use_ref_ca=False, word_token_indices=None):
+    from lmdx.sampling import guidance as g
+
+    spec = g.GuidanceSpec(
+        keys=KEYS, loss_scale=3.0, loss_threshold=0.0, max_index_step=4,
+        fg_top_p=0.2, bg_top_p=0.2, fg_weight=1.0, bg_weight=4.0,
+        use_ref_ca=use_ref_ca, ref_ca_loss_weight=2.0)
+    data = g.make_guidance_data(
+        BBOXES, POSITIONS, spec, latent_hw=(16, 16), num_levels=2,
+        word_token_indices=word_token_indices,
+        ref_box_to_obj=[0, 1] if use_ref_ca else None)
+    return spec, data
+
+
+@pytest.mark.slow
+def test_plain_cfg_matches_reference_generate():
+    """pipelines.generate (plain CFG DDIM, pipelines.py:249-278) vs
+    loop.sample with no guidance."""
+    pipelines = _load_reference_pipelines()
+    from diffusers import DDIMScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.sampling.loop import sample
+
+    tm, fm, params, _, _ = _tiny_pair(use_gligen=False)
+    rng = np.random.default_rng(11)
+    text, uncond, cond = _embeddings(rng)
+    lat0 = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+
+    t_latents, _ = pipelines.generate(
+        _model_dict(tm, DDIMScheduler()),
+        torch.from_numpy(lat0.copy()),
+        tuple(map(torch.from_numpy, (text, uncond, cond))),
+        STEPS)
+
+    out = sample(
+        fm, params, sched.make_schedule(STEPS),
+        jnp.asarray(lat0.transpose(0, 2, 3, 1)), jnp.asarray(text))
+    np.testing.assert_allclose(
+        np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_semantic_guidance_matches_reference():
+    """generate_semantic_guidance with CA-energy guidance active
+    (pipelines.py:129-247 + 16-82, utils/guidance.py:91-148,244-286):
+    the full guided trajectory must match, proving the loss, the gradient
+    update scale, and the iteration accounting agree."""
+    pipelines = _load_reference_pipelines()
+    from diffusers import DDIMScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.sampling.loop import sample
+
+    tm, fm, params, _, _ = _tiny_pair(use_gligen=False)
+    rng = np.random.default_rng(12)
+    text, uncond, cond = _embeddings(rng)
+    lat0 = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+
+    ret = pipelines.generate_semantic_guidance(
+        _model_dict(tm, DDIMScheduler()),
+        torch.from_numpy(lat0.copy()),
+        tuple(map(torch.from_numpy, (text, uncond, cond))),
+        STEPS, BBOXES, ["a", "b"], POSITIONS,
+        semantic_guidance_kwargs=_guidance_kwargs(),
+        show_progress=False, save_all_latents=True,
+        offload_latents_to_cpu=False)
+    t_latents, t_traj = ret[0], ret[-1]
+
+    spec, data = _lmdx_spec_data()
+    out = sample(
+        fm, params, sched.make_schedule(STEPS),
+        jnp.asarray(lat0.transpose(0, 2, 3, 1)), jnp.asarray(text),
+        cond_embeddings=jnp.asarray(cond),
+        spec=spec, guidance_data=data, max_iter=[2, 2, 1],
+        save_all_latents=True)
+
+    assert out.all_latents.shape[0] == t_traj.shape[0] == STEPS + 1
+    for i in range(STEPS + 1):
+        np.testing.assert_allclose(
+            np.asarray(out.all_latents[i]), _nhwc(t_traj[i]), atol=2e-3,
+            err_msg=f"trajectory diverged at step {i}")
+    np.testing.assert_allclose(
+        np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_ref_ca_guidance_matches_reference():
+    """Attention-transfer (ref-CA) loss parity (utils/guidance.py:150-242,
+    ref_ca_word_token_only path): per-box reference maps enter the loss at
+    the word-token column with L1 on mask-normalized attention."""
+    pipelines = _load_reference_pipelines()
+    from diffusers import DDIMScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.sampling.loop import sample
+
+    tm, fm, params, _, _ = _tiny_pair(use_gligen=False)
+    rng = np.random.default_rng(13)
+    text, uncond, cond = _embeddings(rng)
+    lat0 = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+    word_idx = [2, 5]
+    heads = 2
+
+    # Shared per-step reference maps: {key: (T, Bx=2, heads, n)}
+    sizes = {("mid", 0, 0, 0): 64, ("up", 1, 0, 0): 256, ("up", 1, 1, 0): 256}
+    ref_np = {
+        k: rng.uniform(0.0, 0.2, (STEPS, 2, heads, n)).astype(np.float32)
+        for k, n in sizes.items()}
+
+    # Reference nesting: [obj][t][key] -> (1, heads, n, 1)
+    # (one box per object, so the per-box level collapses; guidance.py:168-171)
+    ref_nested = [
+        [
+            {k: torch.from_numpy(ref_np[k][t, obj][None, :, :, None])
+             for k in ref_np}
+            for t in range(STEPS)
+        ]
+        for obj in range(2)
+    ]
+
+    ret = pipelines.generate_semantic_guidance(
+        _model_dict(tm, DDIMScheduler()),
+        torch.from_numpy(lat0.copy()),
+        tuple(map(torch.from_numpy, (text, uncond, cond))),
+        STEPS, BBOXES, ["a", "b"], POSITIONS,
+        semantic_guidance_kwargs=_guidance_kwargs(
+            ref_ca_saved_attns=ref_nested,
+            ref_ca_word_token_only=True,
+            word_token_indices=word_idx,
+            ref_ca_loss_weight=2.0),
+        show_progress=False, save_all_latents=True,
+        offload_latents_to_cpu=False)
+    t_latents = ret[0]
+
+    spec, data = _lmdx_spec_data(use_ref_ca=True, word_token_indices=word_idx)
+    out = sample(
+        fm, params, sched.make_schedule(STEPS),
+        jnp.asarray(lat0.transpose(0, 2, 3, 1)), jnp.asarray(text),
+        cond_embeddings=jnp.asarray(cond),
+        spec=spec, guidance_data=data, max_iter=[2, 2, 1],
+        ref_taps={k: jnp.asarray(v) for k, v in ref_np.items()})
+    np.testing.assert_allclose(
+        np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_boxdiff_guidance_matches_reference():
+    """BoxDiff inner/outer-box + corner constraints and the one-iteration
+    sqrt-interpolated update (utils/boxdiff.py:20-246): guided trajectory
+    parity through generate_semantic_guidance(use_boxdiff=True)."""
+    tm, fm, params, _, cfg = _tiny_pair(use_gligen=False)
+    pipelines = _load_reference_pipelines()
+    from diffusers import DDIMScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.sampling import boxdiff as boxdiff_lib
+    from lmdx.sampling.loop import sample
+
+    rng = np.random.default_rng(15)
+    text, uncond, cond = _embeddings(rng)
+    lat0 = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+    # Every BoxDiff key must share one attention resolution: the tiny
+    # topology's 16x16 layers (down block 0 + up block 1).
+    bd_keys = (("down", 0, 0, 0), ("up", 1, 0, 0), ("up", 1, 1, 0))
+
+    ret = pipelines.generate_semantic_guidance(
+        _model_dict(tm, DDIMScheduler()),
+        torch.from_numpy(lat0.copy()),
+        tuple(map(torch.from_numpy, (text, uncond, cond))),
+        STEPS, BBOXES, ["a", "b"], POSITIONS,
+        use_boxdiff=True,
+        semantic_guidance_kwargs=dict(
+            amp_loss_scale=10, latent_scale=2.0, scale_range=(1.0, 0.5),
+            max_index_step=4, guidance_attn_keys=bd_keys,
+            P=0.2, L=1, smooth_attentions=True, sigma=0.5, kernel_size=3,
+            verbose=False),
+        show_progress=False, save_all_latents=True,
+        offload_latents_to_cpu=False)
+    t_latents, t_traj = ret[0], ret[-1]
+
+    spec = boxdiff_lib.BoxDiffSpec(
+        keys=bd_keys, top_p=0.2, corner_halfwidth=1, smooth_attentions=True,
+        sigma=0.5, kernel_size=3, latent_scale=2.0, scale_range=(1.0, 0.5),
+        max_index_step=4)
+    data = boxdiff_lib.make_boxdiff_data(
+        BBOXES, POSITIONS, spec, latent_hw=(16, 16), num_levels=2)
+    out = sample(
+        fm, params, sched.make_schedule(STEPS),
+        jnp.asarray(lat0.transpose(0, 2, 3, 1)), jnp.asarray(text),
+        cond_embeddings=jnp.asarray(cond),
+        spec=spec, guidance_data=data, save_all_latents=True)
+
+    for i in range(STEPS + 1):
+        np.testing.assert_allclose(
+            np.asarray(out.all_latents[i]), _nhwc(t_traj[i]), atol=2e-3,
+            err_msg=f"trajectory diverged at step {i}")
+    np.testing.assert_allclose(
+        np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
+
+
+class _TokInputs(dict):
+    def to(self, device):
+        return self
+
+
+class _StubTokenizer:
+    def __init__(self, ids):
+        self.ids = ids
+
+    def __call__(self, phrases, padding=True, return_tensors="pt"):
+        return _TokInputs(
+            input_ids=torch.tensor([self.ids[p] for p in phrases]))
+
+
+class _StubTextEncoder:
+    """pooler_output lookup table — the CLIP pooled phrase embeddings both
+    sides must agree on (pipelines.py:303-305)."""
+
+    def __init__(self, table):
+        self.table = table
+
+    def __call__(self, input_ids):
+        return types.SimpleNamespace(pooler_output=self.table[input_ids])
+
+
+@pytest.mark.slow
+def test_gligen_frozen_scheduled_matches_reference():
+    """generate_gligen end to end (pipelines.py:323-473): PositionNet
+    grounding with the CFG-masked condition (max_objs=30, uncond half
+    nulled), scheduled-sampling fuser cutoff, semantic guidance with the
+    reference's NULL-grounding guidance forward (pipelines.py:378-388), and
+    frozen-mask latent splicing from an input trajectory."""
+    pipelines = _load_reference_pipelines()
+    from diffusers import DDIMScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.nn import unet as unet_lib
+    from lmdx.sampling import gligen as gligen_lib
+    from lmdx.sampling.loop import sample
+
+    tm, fm, params, pn_params, cfg = _tiny_pair(use_gligen=True)
+    rng = np.random.default_rng(14)
+    text, uncond, cond = _embeddings(rng)
+    traj0 = rng.standard_normal((STEPS + 1, 1, 4, 16, 16)).astype(np.float32)
+    frozen_mask = (rng.random((16, 16)) > 0.5).astype(np.float32)
+    phrases = ["a red cube", "a blue ball"]
+    table = torch.from_numpy(
+        rng.standard_normal((2, 768)).astype(np.float32))
+    frozen_steps = 3
+    beta = 0.5  # fuser on for the first 3 of 6 steps
+
+    ret = pipelines.generate_gligen(
+        _model_dict(tm, DDIMScheduler(),
+                    tokenizer=_StubTokenizer({p: i for i, p in enumerate(phrases)}),
+                    text_encoder=_StubTextEncoder(table)),
+        torch.from_numpy(traj0.copy()),
+        tuple(map(torch.from_numpy, (text, uncond, cond))),
+        STEPS, BBOXES, phrases,
+        gligen_scheduled_sampling_beta=beta,
+        frozen_steps=frozen_steps,
+        frozen_mask=torch.from_numpy(frozen_mask),
+        semantic_guidance=True,
+        semantic_guidance_bboxes=BBOXES,
+        semantic_guidance_object_positions=POSITIONS,
+        semantic_guidance_kwargs=_guidance_kwargs(),
+        show_progress=False)
+    t_latents = ret[0]
+
+    # lmdx grounding condition at the reference's max_objs=30 slot count
+    # (pipelines.py:289 hard-codes 30; slot count changes fuser softmax).
+    boxes2, embs2, masks2 = gligen_lib.prepare_gligen_condition(
+        BBOXES, np.asarray(table), max_objs=30)
+    pn = unet_lib.PositionNet(
+        positive_len=768, out_dim=cfg.unet.cross_attention_dim,
+        fourier_freqs=cfg.unet.gligen_fourier_freqs)
+    objs_full = pn.apply({"params": pn_params}, boxes2, masks2, embs2)
+    objs_null = objs_full[:1]
+
+    spec, data = _lmdx_spec_data()
+    out = sample(
+        fm, params, sched.make_schedule(STEPS),
+        jnp.asarray(traj0[0].transpose(0, 2, 3, 1)), jnp.asarray(text),
+        cond_embeddings=jnp.asarray(cond),
+        spec=spec, guidance_data=data, max_iter=[2, 2, 1],
+        gligen=(objs_full, objs_null),
+        num_fuser_steps=int(beta * STEPS),
+        frozen_mask=jnp.asarray(frozen_mask),
+        frozen_latents=jnp.asarray(traj0.transpose(0, 1, 3, 4, 2)),
+        num_frozen_steps=frozen_steps)
+    np.testing.assert_allclose(
+        np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
