@@ -497,3 +497,131 @@ def test_gligen_frozen_scheduled_matches_reference():
         num_frozen_steps=frozen_steps)
     np.testing.assert_allclose(
         np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
+
+
+# ---- host-side composition / attention utilities ---------------------------
+
+
+@pytest.mark.slow
+def test_compose_latents_with_alignment_matches_reference():
+    """Latent-trajectory composition with mass-center alignment
+    (utils/latents.py:38-118): box-to-bg initial copy, largest-mask-first
+    paste order, foreground indices, and the 8x8-snapped shift offsets."""
+    _load_reference_pipelines()
+    latents_ref = sys.modules["utils.latents"]
+    from easydict import EasyDict
+
+    from lmdx.core import boxes as boxlib
+    from lmdx.sampling import compose as compose_lib
+
+    rng = np.random.default_rng(21)
+    S = 4
+    trajs = [rng.standard_normal((S + 1, 1, 4, 16, 16)).astype(np.float32)
+             for _ in range(2)]
+    # Masks whose mass centers differ from the target box centers, so
+    # alignment produces nonzero snapped offsets; make mask 0 the bigger one
+    # to exercise the largest-first paste order deterministically.
+    m0 = np.zeros((16, 16), bool)
+    m0[2:9, 1:10] = True
+    m1 = np.zeros((16, 16), bool)
+    m1[10:14, 11:15] = True
+    masks = [m0, m1]
+    overall_bboxes = [[[0.55, 0.5, 0.95, 0.9]], [[0.05, 0.1, 0.45, 0.5]]]
+    bg = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+
+    t_composed, t_fg, t_offsets = latents_ref.compose_latents_with_alignment(
+        EasyDict(unet=None, scheduler=None, dtype=torch.float32),
+        [torch.from_numpy(t.copy()) for t in trajs],
+        [torch.from_numpy(m) for m in masks],
+        S, 1, 128, 128,
+        latents_bg=torch.from_numpy(bg.copy()),
+        align_with_overall_bboxes=True, overall_bboxes=overall_bboxes,
+        horizontal_shift_only=False)
+
+    out = compose_lib.compose_latents_with_alignment(
+        [t.transpose(0, 1, 3, 4, 2) for t in trajs],
+        [m.astype(np.float32) for m in masks],
+        bg.transpose(0, 2, 3, 1), S,
+        align_with_overall_bboxes=True, overall_bboxes=overall_bboxes,
+        horizontal_shift_only=False)
+
+    assert [tuple(np.round(o, 6)) for o in out.offsets] == \
+        [tuple(np.round(o, 6)) for o in t_offsets]
+    np.testing.assert_array_equal(
+        out.foreground_indices, np.asarray(t_fg))
+    np.testing.assert_allclose(
+        out.latents, np.asarray(t_composed).transpose(0, 1, 3, 4, 2),
+        atol=1e-6)
+
+    # Unaligned path too (align_with_overall_bboxes=False in LMD+ defaults).
+    t_c2, t_f2, t_o2 = latents_ref.compose_latents_with_alignment(
+        EasyDict(unet=None, scheduler=None, dtype=torch.float32),
+        [torch.from_numpy(t.copy()) for t in trajs],
+        [torch.from_numpy(m) for m in masks],
+        S, 1, 128, 128,
+        latents_bg=torch.from_numpy(bg.copy()),
+        align_with_overall_bboxes=False)
+    out2 = compose_lib.compose_latents_with_alignment(
+        [t.transpose(0, 1, 3, 4, 2) for t in trajs],
+        [m.astype(np.float32) for m in masks],
+        bg.transpose(0, 2, 3, 1), S, align_with_overall_bboxes=False)
+    assert list(t_o2) == out2.offsets == [(0.0, 0.0)] * 2
+    np.testing.assert_allclose(
+        out2.latents, np.asarray(t_c2).transpose(0, 1, 3, 4, 2), atol=1e-6)
+    np.testing.assert_array_equal(out2.foreground_indices, np.asarray(t_f2))
+
+    # blend_latents (utils/latents.py:25-35): fg/bg noise blending math.
+    fg = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+    fg_mask = (rng.random((16, 16)) > 0.5).astype(np.float32)
+    t_blend = latents_ref.blend_latents(
+        torch.from_numpy(bg.copy()), torch.from_numpy(fg.copy()),
+        torch.from_numpy(fg_mask), fg_blending_ratio=0.1)
+    from lmdx.sampling import latents as latents_lib
+
+    f_blend = latents_lib.blend_latents(
+        jnp.asarray(bg.transpose(0, 2, 3, 1)),
+        jnp.asarray(fg.transpose(0, 2, 3, 1)),
+        jnp.asarray(fg_mask), fg_blending_ratio=0.1)
+    np.testing.assert_allclose(
+        np.asarray(f_blend), np.asarray(t_blend).transpose(0, 2, 3, 1),
+        atol=1e-6)
+
+
+@pytest.mark.slow
+def test_attention_shift_and_aggregation_match_reference():
+    """shift_saved_attns (utils/attn.py:40-70) and get_token_attnv2
+    (utils/attn.py:9-38) vs compose.shift_ref_taps /
+    aggregate_token_attention on identical map content."""
+    _load_reference_pipelines()
+    attn_ref = sys.modules["utils.attn"]
+
+    from lmdx.sampling import compose as compose_lib
+
+    rng = np.random.default_rng(22)
+    T, heads, n = 5, 2, 256
+    key = ("up", 1, 0, 0)
+    maps = rng.uniform(0, 1, (T, heads, n)).astype(np.float32)
+    offset = (0.37, -0.22)  # snaps to (3, -2) on the 8x8 base grid
+
+    # Reference: per-step dicts of (batch=1, heads, n, tokens=1).
+    saved = [{key: torch.from_numpy(maps[t][None, :, :, None])}
+             for t in range(T)]
+    t_shifted = attn_ref.shift_saved_attns(saved, offset, [key])
+    t_stack = np.stack(
+        [np.asarray(d[key])[0, :, :, 0] for d in t_shifted])  # (T, heads, n)
+
+    f_shifted = compose_lib.shift_ref_taps([{key: maps}], [offset])
+    np.testing.assert_allclose(
+        np.asarray(f_shifted[key][:, 0]), t_stack, atol=1e-6)
+
+    # Aggregation: cond-only maps, start step 2, single token column.
+    L = 6
+    token_id = 3
+    full = rng.uniform(0, 1, (T, 1, heads, n, L)).astype(np.float32)
+    saved_full = [{key: torch.from_numpy(full[t])} for t in range(T)]
+    t_attn = attn_ref.get_token_attnv2(
+        token_id, saved_full, key, attn_aggregation_step_start=2,
+        input_ca_has_condition_only=True, return_np=True)
+    f_attn = compose_lib.aggregate_token_attention(
+        full[:, :, :, :, token_id : token_id + 1], start_step=2)
+    np.testing.assert_allclose(f_attn, t_attn, atol=1e-6)
