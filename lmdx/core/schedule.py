@@ -63,6 +63,19 @@ def ddim_timestep_grid(num_inference_steps: int, num_train_timesteps: int = 1000
     return (timesteps + steps_offset).astype(np.int64)
 
 
+def dpm_timestep_grid(num_inference_steps: int,
+                      num_train_timesteps: int = 1000) -> np.ndarray:
+    """DPMSolverMultistep's linspace grid (diffusers 0.18 set_timesteps):
+    n+1 points linspaced over [0, T-1], rounded, descending, last dropped.
+    Differs from DDIM's leading-spaced grid — the reference's
+    --scheduler dpmsolver path samples these timesteps."""
+    return (
+        np.linspace(0, num_train_timesteps - 1, num_inference_steps + 1)
+        .round()[::-1][:-1]
+        .astype(np.int64)
+    )
+
+
 def fast_schedule_timesteps(timesteps: np.ndarray, fast_after_steps: int,
                             fast_rate: int) -> np.ndarray:
     """Truncate a timestep grid: full resolution up to `fast_after_steps`,
@@ -79,10 +92,14 @@ def make_schedule(
     fast_after_steps: int | None = None,
     fast_rate: int = 2,
     alphas_cumprod: np.ndarray | None = None,
+    solver: str = "ddim",
 ) -> Schedule:
     if alphas_cumprod is None:
         alphas_cumprod = make_alphas_cumprod(num_train_timesteps)
-    timesteps = ddim_timestep_grid(num_inference_steps, num_train_timesteps)
+    if solver == "dpmpp_2m":
+        timesteps = dpm_timestep_grid(num_inference_steps, num_train_timesteps)
+    else:
+        timesteps = ddim_timestep_grid(num_inference_steps, num_train_timesteps)
     if fast_after_steps is not None:
         timesteps = fast_schedule_timesteps(timesteps, fast_after_steps, fast_rate)
 
@@ -173,14 +190,17 @@ def _alpha_sigma_lambda(schedule: Schedule, t: jnp.ndarray):
 
 def dpmpp_2m_step(schedule: Schedule, eps: jnp.ndarray, t: jnp.ndarray,
                   next_t: jnp.ndarray, sample: jnp.ndarray,
-                  prev_x0: jnp.ndarray, prev_t: jnp.ndarray):
+                  prev_x0: jnp.ndarray, prev_t: jnp.ndarray,
+                  force_first_order: jnp.ndarray | bool = False):
     """One DPM-Solver++(2M) update x_t -> x_{next_t}.
 
     Multistep state: (prev_x0, prev_t) from the preceding step; prev_t < -500
     marks "no history" (first step -> first-order update). Matches diffusers
     DPMSolverMultistepScheduler(algorithm_type="dpmsolver++", solver_order=2)
     — the scheduler the reference can inject via --scheduler
-    (generate.py:26,121; models/models.py:49-56).
+    (generate.py:26,121; models/models.py:49-56). `force_first_order` is the
+    scheduler's lower_order_final rule: the final step drops to first order
+    when the run has < 15 steps (see dpm_lower_order_mask).
 
     Returns (new_sample, x0) — callers thread (x0, t) as the next state.
     """
@@ -203,5 +223,16 @@ def dpmpp_2m_step(schedule: Schedule, eps: jnp.ndarray, t: jnp.ndarray,
     second_order = (sigma_s / sigma_t) * sample32 - alpha_s * (
         jnp.exp(-h) - 1.0) * d
 
-    out = jnp.where(prev_t < -500, first_order, second_order)
+    use_first = jnp.logical_or(prev_t < -500, force_first_order)
+    out = jnp.where(use_first, first_order, second_order)
     return out.astype(sample.dtype), x0.astype(sample.dtype)
+
+
+def dpm_lower_order_mask(num_steps: int) -> np.ndarray:
+    """Per-step force-first-order flags for DPM-Solver++(2M): diffusers'
+    lower_order_final rule drops the FINAL step to first order when the run
+    has fewer than 15 steps (stabilizes short schedules)."""
+    mask = np.zeros((num_steps,), bool)
+    if num_steps < 15 and num_steps > 0:
+        mask[-1] = True
+    return mask

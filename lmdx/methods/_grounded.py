@@ -179,7 +179,7 @@ def run_grounded(spec, bundle, p: GroundedParams,
     so_negative = base.with_extra_negative(spec, p.so_negative_prompt)
     overall_negative = base.with_extra_negative(spec, p.overall_negative_prompt)
 
-    schedule = sched.make_schedule(p.num_inference_steps)
+    schedule = sched.make_schedule(p.num_inference_steps, solver=p.scheduler)
 
     if p.use_fast_schedule:
         fast_after_steps = (
@@ -188,7 +188,7 @@ def run_grounded(spec, bundle, p: GroundedParams,
         )
         so_schedule = sched.make_schedule(
             p.num_inference_steps, fast_after_steps=fast_after_steps,
-            fast_rate=p.fast_rate,
+            fast_rate=p.fast_rate, solver=p.scheduler,
         )
     else:
         so_schedule = schedule

@@ -49,7 +49,7 @@ def run(
     indices = toklib.get_phrase_indices(bundle.tokenizer, prompt, phrases,
                                         words=words)
 
-    schedule = sched.make_schedule(num_inference_steps)
+    schedule = sched.make_schedule(num_inference_steps, solver=scheduler)
     uncond, cond = runtime_models.encode_prompts(bundle, [prompt], negative_prompt)
     text_embeddings = jnp.concatenate([uncond, cond], axis=0)
 

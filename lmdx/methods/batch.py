@@ -86,7 +86,7 @@ def run_grounded_batch(
     fg_seed_starts = fg_seed_starts or [p.fg_seed_start] * g_count
     frozen_steps = int(p.num_inference_steps *
                        min(max(p.frozen_step_ratio, 0.0), 1.0))
-    schedule = sched.make_schedule(p.num_inference_steps)
+    schedule = sched.make_schedule(p.num_inference_steps, solver=p.scheduler)
 
     # ---- per-image preprocessing -----------------------------------------
     images = []

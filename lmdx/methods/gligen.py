@@ -37,7 +37,7 @@ def run(
     prompt = converted.overall_prompt
     negative_prompt = base.with_extra_negative(spec, negative_prompt)
 
-    schedule = sched.make_schedule(num_inference_steps)
+    schedule = sched.make_schedule(num_inference_steps, solver=scheduler)
     uncond, cond = runtime_models.encode_prompts(bundle, [prompt], negative_prompt)
     text_embeddings = jnp.concatenate([uncond, cond], axis=0)
 

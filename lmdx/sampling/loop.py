@@ -150,7 +150,8 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
 
         if static.solver == "dpmpp_2m":
             latents, x0 = sched.dpmpp_2m_step(
-                schedule, eps, t, prev_t, latents, prev_x0, prev_tc)
+                schedule, eps, t, prev_t, latents, prev_x0, prev_tc,
+                force_first_order=x["dpm_first"])
             prev_x0, prev_tc = x0, t
         else:
             latents = sched.ddim_step(schedule, eps, t, prev_t, latents)
@@ -282,6 +283,9 @@ def sample(
             "t": schedule.timesteps[start:stop],
             "prev_t": schedule.prev_timesteps[start:stop],
         }
+        if solver == "dpmpp_2m":
+            xs["dpm_first"] = jnp.asarray(
+                sched.dpm_lower_order_mask(num_steps)[start:stop])
         if seg_guidance:
             if isinstance(spec, boxdiff_lib.BoxDiffSpec):
                 xs["step_index"] = jnp.arange(start, stop, dtype=jnp.int32)

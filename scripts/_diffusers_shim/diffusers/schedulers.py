@@ -123,5 +123,121 @@ class DDIMInverseScheduler:  # import-time stub
     pass
 
 
-class DPMSolverMultistepScheduler:  # import-time stub
-    pass
+class DPMSolverMultistepScheduler(ConfigMixin):
+    """Faithful torch transcription of diffusers-0.18
+    DPMSolverMultistepScheduler at the configuration the reference selects
+    (algorithm_type dpmsolver++, solver_order 2, epsilon prediction,
+    midpoint 2nd-order, lower_order_final): linspace timestep grid,
+    multistep x0 history, first-order fallback on step 0 and (for runs
+    < 15 steps) the final step. `sigmas` holds sqrt((1-acp)/acp) on the
+    inference grid — the quantity the reference's guidance update squares
+    (models/pipelines.py:60-63)."""
+
+    @register_to_config
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.00085,
+        beta_end: float = 0.012,
+        beta_schedule: str = "scaled_linear",
+        solver_order: int = 2,
+        prediction_type: str = "epsilon",
+        algorithm_type: str = "dpmsolver++",
+        lower_order_final: bool = True,
+    ):
+        assert algorithm_type == "dpmsolver++" and solver_order == 2
+        betas = (
+            torch.linspace(beta_start**0.5, beta_end**0.5,
+                           num_train_timesteps, dtype=torch.float32) ** 2
+        )
+        self.alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+        self.alpha_t = torch.sqrt(self.alphas_cumprod)
+        self.sigma_t = torch.sqrt(1.0 - self.alphas_cumprod)
+        self.lambda_t = torch.log(self.alpha_t) - torch.log(self.sigma_t)
+        self.init_noise_sigma = 1.0
+        self.num_inference_steps = None
+        self.timesteps = torch.arange(num_train_timesteps - 1, -1, -1)
+
+    def scale_model_input(self, sample, timestep=None):
+        return sample
+
+    def set_timesteps(self, num_inference_steps: int):
+        cfg = self.config
+        import numpy as np
+
+        timesteps = (
+            np.linspace(0, cfg.num_train_timesteps - 1,
+                        num_inference_steps + 1)
+            .round()[::-1][:-1]
+            .copy()
+            .astype(np.int64)
+        )
+        self.timesteps = torch.from_numpy(timesteps)
+        self.num_inference_steps = num_inference_steps
+        acp = self.alphas_cumprod[self.timesteps]
+        self.sigmas = torch.sqrt((1.0 - acp) / acp)
+        self.model_outputs = [None] * cfg.solver_order
+        self.timestep_list = [None] * cfg.solver_order
+        self.lower_order_nums = 0
+
+    def _convert(self, model_output, timestep, sample):
+        # dpmsolver++ epsilon -> x0 prediction
+        return (
+            sample - self.sigma_t[timestep] * model_output
+        ) / self.alpha_t[timestep]
+
+    def _first_order(self, m0, timestep, prev_timestep, sample):
+        lam_t, lam_s = self.lambda_t[prev_timestep], self.lambda_t[timestep]
+        alpha_t, sigma_t = self.alpha_t[prev_timestep], self.sigma_t[prev_timestep]
+        sigma_s = self.sigma_t[timestep]
+        h = lam_t - lam_s
+        return (sigma_t / sigma_s) * sample - alpha_t * (
+            torch.exp(-h) - 1.0) * m0
+
+    def _second_order(self, timestep_list, prev_timestep, sample):
+        t = prev_timestep
+        s0, s1 = timestep_list[-1], timestep_list[-2]
+        m0, m1 = self.model_outputs[-1], self.model_outputs[-2]
+        lam_t, lam_s0, lam_s1 = (
+            self.lambda_t[t], self.lambda_t[s0], self.lambda_t[s1])
+        alpha_t, sigma_t = self.alpha_t[t], self.sigma_t[t]
+        sigma_s0 = self.sigma_t[s0]
+        h, h_0 = lam_t - lam_s0, lam_s0 - lam_s1
+        r0 = h_0 / h
+        d0, d1 = m0, (1.0 / r0) * (m0 - m1)
+        # midpoint rule
+        return (
+            (sigma_t / sigma_s0) * sample
+            - alpha_t * (torch.exp(-h) - 1.0) * d0
+            - 0.5 * alpha_t * (torch.exp(-h) - 1.0) * d1
+        )
+
+    def step(self, model_output, timestep, sample,
+             generator=None) -> DDIMSchedulerOutput:
+        t = int(timestep)
+        idx = (self.timesteps == t).nonzero()
+        step_index = int(idx.item()) if len(idx) else len(self.timesteps) - 1
+        prev_timestep = (
+            0 if step_index == len(self.timesteps) - 1
+            else int(self.timesteps[step_index + 1])
+        )
+        lower_order_final = (
+            step_index == len(self.timesteps) - 1
+            and self.config.lower_order_final
+            and len(self.timesteps) < 15
+        )
+
+        x0 = self._convert(model_output, t, sample)
+        self.model_outputs = [self.model_outputs[-1], x0]
+        self.timestep_list = [self.timestep_list[-1], t]
+
+        if self.lower_order_nums < 1 or lower_order_final:
+            prev_sample = self._first_order(x0, t, prev_timestep, sample)
+        else:
+            prev_sample = self._second_order(
+                self.timestep_list, prev_timestep, sample)
+
+        if self.lower_order_nums < self.config.solver_order:
+            self.lower_order_nums += 1
+        return DDIMSchedulerOutput(prev_sample=prev_sample,
+                                   pred_original_sample=x0)

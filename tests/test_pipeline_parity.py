@@ -625,3 +625,81 @@ def test_attention_shift_and_aggregation_match_reference():
     f_attn = compose_lib.aggregate_token_attention(
         full[:, :, :, :, token_id : token_id + 1], start_step=2)
     np.testing.assert_allclose(f_attn, t_attn, atol=1e-6)
+
+
+# ---- DPM-Solver++(2M) ------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_dpm_solver_matches_reference_generate():
+    """DPM-Solver++(2M) multistep parity: linspace grid, x0-history
+    second-order midpoint updates, first-order on step 0 and on the final
+    step of short runs (shim transcribes diffusers 0.18; lmdx
+    core/schedule.py:dpmpp_2m_step was written independently)."""
+    pipelines = _load_reference_pipelines()
+    from diffusers import DPMSolverMultistepScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.sampling.loop import sample
+
+    tm, fm, params, _, _ = _tiny_pair(use_gligen=False)
+    rng = np.random.default_rng(31)
+    text, uncond, cond = _embeddings(rng)
+    lat0 = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+
+    t_latents, _ = pipelines.generate(
+        _model_dict(tm, DPMSolverMultistepScheduler()),
+        torch.from_numpy(lat0.copy()),
+        tuple(map(torch.from_numpy, (text, uncond, cond))),
+        STEPS)
+
+    out = sample(
+        fm, params, sched.make_schedule(STEPS, solver="dpmpp_2m"),
+        jnp.asarray(lat0.transpose(0, 2, 3, 1)), jnp.asarray(text),
+        solver="dpmpp_2m")
+    np.testing.assert_allclose(
+        np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_dpm_guidance_step_size_matches_reference():
+    """Guidance under the DPM scheduler uses sigmas[index]^2 as the update
+    scale (models/pipelines.py:60-63), not the DDIM sqrt(1-alpha_bar):
+    guided-trajectory parity pins lmdx's (1-a)/a step size."""
+    pipelines = _load_reference_pipelines()
+    from diffusers import DPMSolverMultistepScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.sampling.loop import sample
+
+    tm, fm, params, _, _ = _tiny_pair(use_gligen=False)
+    rng = np.random.default_rng(32)
+    text, uncond, cond = _embeddings(rng)
+    lat0 = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+
+    ret = pipelines.generate_semantic_guidance(
+        _model_dict(tm, DPMSolverMultistepScheduler()),
+        torch.from_numpy(lat0.copy()),
+        tuple(map(torch.from_numpy, (text, uncond, cond))),
+        STEPS, BBOXES, ["a", "b"], POSITIONS,
+        semantic_guidance_kwargs=_guidance_kwargs(loss_scale=0.5),
+        show_progress=False, save_all_latents=True,
+        offload_latents_to_cpu=False)
+    t_latents, t_traj = ret[0], ret[-1]
+
+    spec, data = _lmdx_spec_data()
+    import dataclasses
+
+    spec = dataclasses.replace(spec, loss_scale=0.5)
+    out = sample(
+        fm, params, sched.make_schedule(STEPS, solver="dpmpp_2m"),
+        jnp.asarray(lat0.transpose(0, 2, 3, 1)), jnp.asarray(text),
+        cond_embeddings=jnp.asarray(cond),
+        spec=spec, guidance_data=data, max_iter=[2, 2, 1],
+        solver="dpmpp_2m", save_all_latents=True)
+    for i in range(STEPS + 1):
+        np.testing.assert_allclose(
+            np.asarray(out.all_latents[i]), _nhwc(t_traj[i]), atol=5e-3,
+            err_msg=f"trajectory diverged at step {i}")
+    np.testing.assert_allclose(
+        np.asarray(out.latents), _nhwc(t_latents), atol=5e-3)
