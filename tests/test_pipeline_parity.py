@@ -703,3 +703,43 @@ def test_dpm_guidance_step_size_matches_reference():
             err_msg=f"trajectory diverged at step {i}")
     np.testing.assert_allclose(
         np.asarray(out.latents), _nhwc(t_latents), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_partial_frozen_matches_reference():
+    """generate_partial_frozen (pipelines.py:541-599) — the training-free
+    LMD final pass: guided regeneration with frozen-mask splicing from the
+    composed trajectory, no GLIGEN."""
+    pipelines = _load_reference_pipelines()
+    from diffusers import DDIMScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.sampling.loop import sample
+
+    tm, fm, params, _, _ = _tiny_pair(use_gligen=False)
+    rng = np.random.default_rng(33)
+    text, uncond, cond = _embeddings(rng)
+    traj0 = rng.standard_normal((STEPS + 1, 1, 4, 16, 16)).astype(np.float32)
+    frozen_mask = (rng.random((16, 16)) > 0.4).astype(np.float32)
+    frozen_steps = 3
+
+    t_latents, _ = pipelines.generate_partial_frozen(
+        _model_dict(tm, DDIMScheduler()),
+        torch.from_numpy(traj0.copy()),
+        torch.from_numpy(frozen_mask),
+        tuple(map(torch.from_numpy, (text, uncond, cond))),
+        STEPS, frozen_steps,
+        bboxes=BBOXES, phrases=["a", "b"], object_positions=POSITIONS,
+        semantic_guidance_kwargs=_guidance_kwargs())
+
+    spec, data = _lmdx_spec_data()
+    out = sample(
+        fm, params, sched.make_schedule(STEPS),
+        jnp.asarray(traj0[0].transpose(0, 2, 3, 1)), jnp.asarray(text),
+        cond_embeddings=jnp.asarray(cond),
+        spec=spec, guidance_data=data, max_iter=[2, 2, 1],
+        frozen_mask=jnp.asarray(frozen_mask),
+        frozen_latents=jnp.asarray(traj0.transpose(0, 1, 3, 4, 2)),
+        num_frozen_steps=frozen_steps)
+    np.testing.assert_allclose(
+        np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
