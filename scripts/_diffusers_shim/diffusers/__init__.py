@@ -18,3 +18,7 @@ from .schedulers import (  # noqa: F401  (reference models/models.py:3)
     DDIMScheduler,
     DPMSolverMultistepScheduler,
 )
+
+
+class UNet2DConditionModel:  # import-time stub (generation/multidiffusion.py:16)
+    pass

@@ -24,6 +24,9 @@ class DDIMSchedulerOutput:
     prev_sample: torch.Tensor
     pred_original_sample: torch.Tensor | None = None
 
+    def __getitem__(self, key):  # diffusers outputs allow ["prev_sample"]
+        return getattr(self, key)
+
 
 class DDIMScheduler(ConfigMixin):
     """Deterministic DDIM (Song et al.) per diffusers 0.18 semantics.

@@ -743,3 +743,94 @@ def test_partial_frozen_matches_reference():
         num_frozen_steps=frozen_steps)
     np.testing.assert_allclose(
         np.asarray(out.latents), _nhwc(t_latents), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_multidiffusion_matches_reference():
+    """MultiDiffusion region sampling (generation/multidiffusion.py:161-287):
+    sliding views, shared-uncond CFG (noise_pred[:] += uncond[:1]),
+    mask-weighted view averaging with count normalization — final-latent
+    parity against the reference's own nn.Module on a 512x576 panorama
+    (two overlapping views)."""
+    _load_reference_pipelines()
+    # generation/multidiffusion.py pulls utils.parse (inflect/gradio) and
+    # torchvision at import time; none are needed at run time here.
+    for name, attrs in (
+        ("inflect", {"engine": lambda: types.SimpleNamespace()}),
+        ("gradio", {"Error": RuntimeError}),
+        ("torchvision", {}),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    if "torchvision.transforms" not in sys.modules:
+        tv_t = types.ModuleType("torchvision.transforms")
+        tv_t.ToPILImage = lambda: (lambda x: x)
+        sys.modules["torchvision.transforms"] = tv_t
+        sys.modules["torchvision"].transforms = tv_t
+    # The module instantiates MultiDiffusion (full model load) at module
+    # level (multidiffusion.py:348, import-order DI) — exec the source up
+    # to that point to get the class + helpers without the load.
+    md_path = os.path.join(REFERENCE, "generation", "multidiffusion.py")
+    src = open(md_path).read()
+    src = src[: src.index('device = torch.device("cuda")')]
+    md_mod = types.ModuleType("ref_multidiffusion")
+    md_mod.__file__ = md_path
+    exec(compile(src, md_path, "exec"), md_mod.__dict__)
+
+    from diffusers import DDIMScheduler
+
+    from lmdx.core import schedule as sched
+    from lmdx.methods import multidiffusion as md_lib
+
+    tm, fm, params, _, _ = _tiny_pair(use_gligen=False)
+    rng = np.random.default_rng(41)
+    R, L, D = 2, 8, 32
+    steps = 5
+    uncond = rng.standard_normal((R, L, D)).astype(np.float32)
+    cond = rng.standard_normal((R, L, D)).astype(np.float32)
+    text = np.concatenate([uncond, cond], axis=0)
+
+    fg = np.zeros((64, 72), np.float32)
+    fg[20:50, 30:60] = 1.0
+    masks_np = np.stack([1.0 - fg, fg])  # (R, H, W), row 0 = background
+
+    md = md_mod.MultiDiffusion.__new__(md_mod.MultiDiffusion)
+    torch.nn.Module.__init__(md)
+    md.device = "cpu"
+    md.batch_size = 64  # no unet_batch splitting
+    md.unet = tm
+    md.scheduler = DDIMScheduler()
+    md.vae = None
+    md.get_text_embeds = lambda p, n: torch.from_numpy(text.copy())
+    captured = {}
+
+    def fake_decode(latents):
+        captured["latents"] = latents.clone()
+        return torch.zeros(1, 3, 8, 8)
+
+    md.decode_latents = fake_decode
+    md.generate(
+        torch.from_numpy(masks_np[:, None]),  # (R, 1, H, W)
+        ["bg", "obj"], height=512, width=576,
+        num_inference_steps=steps, bootstrapping=0,
+        indep_uncond=False, normalization=True, seed=5)
+    t_latent = captured["latents"]
+
+    g = torch.manual_seed(5)
+    lat0 = torch.randn((1, 4, 64, 72), generator=g,
+                       dtype=torch.float32).numpy()
+    views = tuple(md_lib.get_views(512, 576))
+    assert views == tuple(md_mod.get_views(512, 576)) and len(views) == 2
+
+    schedule = sched.make_schedule(steps)
+    out = md_lib._run_segment(
+        fm, views, False, 7.5, False, True, params, schedule,
+        jnp.asarray(lat0.transpose(0, 2, 3, 1)),
+        {"t": schedule.timesteps, "prev_t": schedule.prev_timesteps},
+        {"masks": jnp.asarray(masks_np[..., None]),
+         "text_embeddings": jnp.asarray(text)})
+    np.testing.assert_allclose(
+        np.asarray(out), _nhwc(t_latent), atol=2e-3)
