@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "(reference generate.py:45,202-204)")
     parser.add_argument("--multidiffusion_bootstrapping", default=20,
                         type=int)
+    parser.add_argument("--use_autocast", default=None, type=int,
+                        help="accepted for reference-CLI compatibility "
+                             "(generate.py:86); lmdx always computes in "
+                             "bf16 with f32 accumulation, the TPU "
+                             "equivalent of torch autocast")
     for name in FLOAT_ARGS:
         parser.add_argument("--" + name, default=None, type=float)
     for name in INT_ARGS:

@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     parser.add_argument("--detection_score_threshold", default=0.15, type=float)
     parser.add_argument("--nms_threshold", default=0.15, type=float)
     parser.add_argument("--no-class-aware-nms", action="store_true")
+    parser.add_argument("--class-aware-nms", action="store_true",
+                        help="accepted for reference-CLI compatibility "
+                             "(owl_vit_eval.py:29; there it is opt-in — "
+                             "here class-aware NMS is already the default, "
+                             "matching the published protocol)")
     parser.add_argument("--skip_first_prompts", default=0, type=int)
     parser.add_argument("--run_start_ind", default=0, type=int,
                         help="directory-index offset vs prompt index "

@@ -28,7 +28,16 @@ def main(argv=None) -> int:
     parser.add_argument("--template_version", default="v0.1")
     parser.add_argument("--auto-query", action="store_true",
                         help="query the LLM endpoint instead of printing the template")
-    parser.add_argument("--always-save", action="store_true")
+    parser.add_argument("--interactive", action="store_true",
+                        help="on cache miss, print the full template prompt "
+                             "and read a manually pasted response from stdin "
+                             "(the reference's default no-endpoint flow, "
+                             "prompt_batch.py:62-105; opt-in here so batch "
+                             "jobs never block on a tty)")
+    parser.add_argument("--always-save", action="store_true",
+                        help="with --interactive: save parsed layouts "
+                             "without the Save (y/n)? confirmation "
+                             "(reference prompt_batch.py:25)")
     parser.add_argument("--show-template", action="store_true")
     parser.add_argument("--skip_first_prompts", default=0, type=int)
     parser.add_argument("--num_prompts", default=None, type=int)
@@ -68,6 +77,27 @@ def main(argv=None) -> int:
     vis_dir = (f"img_generations/imgs_{args.prompt_type}"
                f"_template{args.template_version}")
 
+    def read_manual_response() -> str:
+        """Assemble a response pasted line by line, mirroring the
+        reference's interactive flow (utils/parse.py:28-124: the objects
+        line first, then background / negative prompts if missing)."""
+        text = input("Enter the response: ").strip()
+        if "Objects:" in text:
+            text = text.split("Objects:", 1)[1].strip()
+        if "Background prompt:" not in text:
+            bg = ""
+            while not bg:
+                bg = input("Enter the background prompt: ").strip()
+            if "Background prompt:" in bg:
+                bg = bg.split("Background prompt:", 1)[1].strip()
+            text += f"\nBackground prompt: {bg}"
+        if "Negative prompt:" not in text:
+            neg = input("Enter the negative prompt (can be empty): ").strip()
+            if "Negative prompt:" in neg:
+                neg = neg.split("Negative prompt:", 1)[1].strip()
+            text += f"\nNegative prompt: {neg}"
+        return text
+
     def visualize(ind: int, resp: str) -> None:
         if args.no_visualize:
             return
@@ -101,7 +131,35 @@ def main(argv=None) -> int:
                 visualize(ind, cache.get(prompt))
             continue
         if not args.auto_query:
-            print(f"[{ind}] NOT cached (run with --auto-query or paste manually): {prompt}")
+            if not args.interactive:
+                print(f"[{ind}] NOT cached (run with --auto-query or "
+                      f"--interactive to paste manually): {prompt}")
+                continue
+            # Manual flow: print the filled template, read a pasted
+            # response, confirm, save (reference prompt_batch.py:62-105).
+            print("#########")
+            print(template.format(prompt=prompt))
+            print("#########")
+            for attempt in range(args.max_retries):
+                try:
+                    resp = read_manual_response()
+                    layout = parse_layout_response(resp)
+                    filter_boxes(layout.gen_boxes)
+                except (ParseError, EOFError) as e:
+                    print(f"[{ind}] invalid response (attempt "
+                          f"{attempt + 1}): {e}")
+                    continue
+                visualize(ind, resp)
+                if not args.always_save:
+                    save = input("Save (y/n)? ").strip()
+                    if save not in ("y", "Y"):
+                        print("Not saved; asking again.")
+                        continue
+                cache.add(prompt, resp)
+                print(f"[{ind}] saved layout for: {prompt}")
+                break
+            else:
+                print(f"[{ind}] giving up after {args.max_retries} attempts")
             continue
 
         for attempt in range(args.max_retries):

@@ -135,3 +135,41 @@ def test_webui_page_and_generate():
 
 
 test_webui_page_and_generate = pytest.mark.slow(test_webui_page_and_generate)
+
+
+def test_prompt_batch_interactive_paste(tmp_path, monkeypatch, capsys):
+    """--interactive: template printed, pasted response assembled from
+    stdin lines, confirmed, and saved to the cache (reference
+    prompt_batch.py:62-105)."""
+    monkeypatch.chdir(tmp_path)
+    answers = iter([
+        "[('a blue cube', [100, 100, 120, 120])]",  # objects line
+        "A grassy field",                            # background prompt
+        "",                                          # negative prompt
+        "y",                                         # Save (y/n)?
+    ])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    argv = [
+        "--prompt-type", "demo", "--model", "gpt-4", "--interactive",
+        "--cache-dir", str(tmp_path), "--num_prompts", "1",
+        "--no-visualize",
+    ]
+    assert prompt_batch.main(argv) == 0
+    cache = json.load(open(tmp_path / "cache_demo_v0.1_gpt-4.json"))
+    (resp,), = cache.values()
+    assert "Background prompt: A grassy field" in resp
+    assert "a blue cube" in resp
+    out = capsys.readouterr().out
+    assert "#########" in out  # the filled template was printed
+
+    # --always-save skips the confirmation.
+    answers2 = iter([
+        "Objects: [('a red ball', [10, 10, 50, 50])]\n",
+        "A beach", "",
+    ])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers2))
+    argv2 = argv + ["--always-save", "--skip_first_prompts", "1",
+                    "--num_prompts", "1"]
+    assert prompt_batch.main(argv2) == 0
+    cache = json.load(open(tmp_path / "cache_demo_v0.1_gpt-4.json"))
+    assert len(cache) == 2
