@@ -14,6 +14,9 @@ Run on the CPU backend (the same backend the test tier uses):
 from __future__ import annotations
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
