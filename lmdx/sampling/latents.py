@@ -51,10 +51,13 @@ def blend_latents(latents_bg: jnp.ndarray, latents_fg: jnp.ndarray,
     bg outside the mask; inside: bg*sqrt(1-r) + fg*sqrt(r) — keeps unit
     variance (utils/latents.py:25-35). fg_mask: (H, W).
     """
+    import numpy as np
+
     m = fg_mask[..., None]
-    mixed = latents_bg * jnp.sqrt(1.0 - fg_blending_ratio) + latents_fg * jnp.sqrt(
-        fg_blending_ratio
-    )
+    # Host-side f64 sqrt constants (the reference uses np.sqrt scalars,
+    # utils/latents.py:32) — keeps the torch-noise A/B backend bit-exact.
+    mixed = (latents_bg * float(np.sqrt(1.0 - fg_blending_ratio))
+             + latents_fg * float(np.sqrt(fg_blending_ratio)))
     return latents_bg * (1.0 - m) + mixed * m
 
 

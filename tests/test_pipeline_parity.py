@@ -834,3 +834,44 @@ def test_multidiffusion_matches_reference():
          "text_embeddings": jnp.asarray(text)})
     np.testing.assert_allclose(
         np.asarray(out), _nhwc(t_latent), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_input_latents_match_reference_torch_noise():
+    """get_input_latents_list under LMDX_NOISE_BACKEND=torch is BIT-equal
+    to the reference (utils/latents.py:120-160): torch.manual_seed noise
+    streams, the +12345 seed-collision bump, sqrt blending inside the box
+    mask, and init_noise_sigma scaling."""
+    _load_reference_pipelines()
+    latents_ref = sys.modules["utils.latents"]
+    utils_ref = sys.modules["utils"]
+    from easydict import EasyDict
+
+    from lmdx.sampling import latents as latents_lib
+
+    class _UNetCfg:
+        class config:  # noqa: N801
+            in_channels = 4
+
+    class _Sched:
+        init_noise_sigma = 1.0
+
+    boxes = [[0.1, 0.2, 0.5, 0.7], [0.4, 0.1, 0.9, 0.6]]
+    bg_seed, fg_start = 100, 99  # second box collides: 99+1 == 100 -> +12345
+    t_list, t_bg = latents_ref.get_input_latents_list(
+        EasyDict(unet=_UNetCfg(), scheduler=_Sched(), dtype=torch.float32),
+        bg_seed, fg_start, 0.1, 128, 128, so_boxes=boxes)
+
+    masks = [np.asarray(utils_ref.proportion_to_mask(b, 16, 16))
+             for b in boxes]
+    os.environ["LMDX_NOISE_BACKEND"] = "torch"
+    try:
+        f_list, f_bg = latents_lib.get_input_latents_list(
+            bg_seed, fg_start, masks, (1, 16, 16, 4), fg_blending_ratio=0.1)
+    finally:
+        del os.environ["LMDX_NOISE_BACKEND"]
+
+    np.testing.assert_array_equal(np.asarray(f_bg), _nhwc(t_bg))
+    assert len(f_list) == len(t_list) == 2
+    for f, t in zip(f_list, t_list):
+        np.testing.assert_array_equal(np.asarray(f), _nhwc(t))
