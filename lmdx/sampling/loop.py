@@ -323,16 +323,21 @@ def sample(
 def _invert_scan(unet, guidance_scale, params, schedule: sched.Schedule,
                  latents, text_embeddings, xs):
     def step(latents, x):
+        # The UNet timestep embedding is the TARGET t — the reference
+        # evaluates unet(input, t) on source-level latents and then steps
+        # toward t (pipelines.py:513,531 with the 0.18 inverse scheduler's
+        # prev_timestep = t convention).
         if guidance_scale > 0.0:
             latent_in = jnp.concatenate([latents, latents], axis=0)
-            eps = apply_unet(unet, params, latent_in, x["t"], text_embeddings)[0]
+            eps = apply_unet(unet, params, latent_in, x["next_t"],
+                             text_embeddings)[0]
             eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
             eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
         else:
             # guidance_scale <= 0: uncond-only forward, exactly like the
             # reference's else branch (pipelines.py:519-528).
             uncond = text_embeddings[: text_embeddings.shape[0] // 2]
-            eps = apply_unet(unet, params, latents, x["t"], uncond)[0]
+            eps = apply_unet(unet, params, latents, x["next_t"], uncond)[0]
         latents = sched.ddim_inverse_step(schedule, eps, x["t"], x["next_t"],
                                           latents)
         return latents, latents
@@ -342,18 +347,23 @@ def _invert_scan(unet, guidance_scale, params, schedule: sched.Schedule,
 
 def invert(unet, params, schedule: sched.Schedule, latents: jnp.ndarray,
            text_embeddings: jnp.ndarray, guidance_scale: float = 7.5):
-    """DDIM inversion x_0 -> x_T (reference models/pipelines.py:489-539).
+    """DDIM inversion x_0 -> near-x_T (reference models/pipelines.py:489-539).
 
-    Walks the timestep grid in reverse (ascending t), returning the final
-    inverted latents and the whole inversion trajectory (T+1, B, H, W, C).
+    Reference-exact semantics: the ascending grid's first T-1 entries are
+    the step TARGETS (pipelines.py:504 iterates `timesteps[:-1]`), each
+    step predicts eps with the target-t embedding on source-level latents
+    (pipelines.py:513), and the source noise level is t - train//T with a
+    sub-zero first source mapped to the initial alpha (the 0.18
+    DDIMInverseScheduler's prev_timestep = t / t -= ratio swap; `_alpha_at`
+    encodes the set_alpha_to_one=False SD configuration). Returns the final
+    latents (at grid[-2], NOT the top grid point — the reference stops one
+    short) and the trajectory (T, B, H, W, C) ascending from the input x0;
+    the reference returns the same set stacked most-noised-first.
     """
     ts = schedule.timesteps[::-1]          # ascending
-    xs = {
-        # Predict eps at the *previous* grid point while stepping to t — the
-        # standard DDIM-inversion approximation.
-        "t": jnp.concatenate([jnp.asarray([0], jnp.int32), ts[:-1]]),
-        "next_t": ts,
-    }
+    ratio = schedule.alphas_cumprod.shape[0] // schedule.num_steps
+    targets = ts[:-1]
+    xs = {"t": targets - ratio, "next_t": targets}
     final, traj = _invert_scan(unet, guidance_scale, params, schedule,
                                latents.astype(jnp.float32), text_embeddings, xs)
     all_latents = jnp.concatenate([latents[None].astype(jnp.float32), traj], axis=0)

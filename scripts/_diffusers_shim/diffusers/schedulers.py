@@ -122,8 +122,88 @@ class AutoencoderKL:  # import-time stub (models/models.py:3)
     pass
 
 
-class DDIMInverseScheduler:  # import-time stub
-    pass
+class DDIMInverseScheduler(ConfigMixin):
+    """Inverse DDIM per diffusers-0.18 semantics (used only by
+    pipelines.invert, models/pipelines.py:489-539; built via
+    DDIMInverseScheduler.from_config(ddim.config), models/models.py:57-59).
+
+    0.18-era behavior transcribed here: set_timesteps yields the ASCENDING
+    leading grid `arange(T) * (train//T) + steps_offset`; step(eps, t,
+    sample) treats t as the TARGET noise level (prev_timestep = t) and
+    t - train//T as the SOURCE, mapping a sub-zero source to
+    `initial_alpha_cumprod` (1.0 when set_alpha_to_one else
+    alphas_cumprod[0]). The caller's UNet is therefore evaluated with the
+    target-t embedding on source-level latents (pipelines.py:513,531)."""
+
+    @register_to_config
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.00085,
+        beta_end: float = 0.012,
+        beta_schedule: str = "scaled_linear",
+        clip_sample: bool = False,
+        set_alpha_to_one: bool = False,
+        steps_offset: int = 1,
+        prediction_type: str = "epsilon",
+    ):
+        if beta_schedule == "scaled_linear":
+            betas = (
+                torch.linspace(beta_start**0.5, beta_end**0.5,
+                               num_train_timesteps, dtype=torch.float32) ** 2
+            )
+        elif beta_schedule == "linear":
+            betas = torch.linspace(beta_start, beta_end, num_train_timesteps,
+                                   dtype=torch.float32)
+        else:
+            raise ValueError(beta_schedule)
+        self.alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+        self.initial_alpha_cumprod = (
+            torch.tensor(1.0) if set_alpha_to_one else self.alphas_cumprod[0]
+        )
+        self.init_noise_sigma = 1.0
+        self.num_inference_steps = None
+        self.timesteps = torch.arange(0, num_train_timesteps)
+
+    def scale_model_input(self, sample: torch.Tensor, timestep=None):
+        return sample
+
+    def set_timesteps(self, num_inference_steps: int, device=None):
+        cfg = self.config
+        self.num_inference_steps = num_inference_steps
+        step_ratio = cfg.num_train_timesteps // num_inference_steps
+        self.timesteps = (
+            (torch.arange(0, num_inference_steps) * step_ratio).round().long()
+            + cfg.steps_offset
+        )
+
+    def step(self, model_output: torch.Tensor, timestep, sample: torch.Tensor,
+             generator=None) -> DDIMSchedulerOutput:
+        cfg = self.config
+        prev_t = int(timestep)                                   # target
+        t = prev_t - cfg.num_train_timesteps // self.num_inference_steps
+
+        alpha_prod_t = (
+            self.alphas_cumprod[t] if t >= 0 else self.initial_alpha_cumprod
+        )
+        alpha_prod_t_prev = self.alphas_cumprod[prev_t]
+        beta_prod_t = 1.0 - alpha_prod_t
+
+        if cfg.prediction_type == "epsilon":
+            pred_original_sample = (
+                sample - beta_prod_t**0.5 * model_output
+            ) / alpha_prod_t**0.5
+            pred_epsilon = model_output
+        else:
+            raise ValueError(cfg.prediction_type)
+
+        pred_sample_direction = (1.0 - alpha_prod_t_prev) ** 0.5 * pred_epsilon
+        prev_sample = (
+            alpha_prod_t_prev**0.5 * pred_original_sample
+            + pred_sample_direction
+        )
+        return DDIMSchedulerOutput(prev_sample=prev_sample,
+                                   pred_original_sample=pred_original_sample)
 
 
 class DPMSolverMultistepScheduler(ConfigMixin):

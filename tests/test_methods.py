@@ -157,7 +157,9 @@ def test_invert_roundtrip(bundle):
     h = bundle.config.latent_height
     x0 = jnp.zeros((1, h, h, 4), jnp.float32)
     final, traj = invert(bundle.unet, bundle.params["unet"], schedule, x0, te)
-    assert traj.shape == (9, 1, h, h, 4)
+    # x0 plus T-1 inversion steps — the reference walks timesteps[:-1]
+    # (pipelines.py:504), so an 8-step grid yields an 8-entry trajectory.
+    assert traj.shape == (8, 1, h, h, 4)
     assert np.isfinite(np.asarray(final)).all()
 
 

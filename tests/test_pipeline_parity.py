@@ -19,8 +19,10 @@ That pins, end to end against the reference implementation itself:
     object x key averaging; utils/guidance.py:91-148,244-286),
   - the ref-CA attention-transfer loss (utils/guidance.py:150-242),
   - GLIGEN scheduled sampling, the CFG-masked grounding condition, the
-    null-grounding guidance forward (pipelines.py:285-321,378-427), and
-  - frozen-mask latent splicing (pipelines.py:445-446).
+    null-grounding guidance forward (pipelines.py:285-321,378-427),
+  - frozen-mask latent splicing (pipelines.py:445-446), and
+  - DDIM inversion (pipelines.py:489-539) over the 0.18 inverse-scheduler
+    conventions.
 
 All tests are slow (tiny-UNet jit compiles per segment).
 """
@@ -875,3 +877,50 @@ def test_input_latents_match_reference_torch_noise():
     assert len(f_list) == len(t_list) == 2
     for f, t in zip(f_list, t_list):
         np.testing.assert_array_equal(np.asarray(f), _nhwc(t))
+
+
+@pytest.mark.slow
+def test_invert_matches_reference():
+    """pipelines.invert (DDIM inversion, pipelines.py:489-539) vs
+    loop.invert: full inverted trajectory, CFG branch and the
+    guidance_scale<=0 uncond-only branch (pipelines.py:519-528). Pins the
+    0.18 inverse-scheduler conventions: target-t UNet embedding, the
+    sub-zero first source mapped to the initial alpha, and stopping one
+    short of the top grid point."""
+    pipelines = _load_reference_pipelines()
+    from diffusers import DDIMInverseScheduler, DDIMScheduler
+    from easydict import EasyDict
+
+    from lmdx.core import schedule as sched
+    from lmdx.sampling.loop import invert
+
+    tm, fm, params, _, _ = _tiny_pair(use_gligen=False)
+    rng = np.random.default_rng(23)
+    text, uncond, cond = _embeddings(rng)
+    x0 = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+
+    ddim = DDIMScheduler()
+    model_dict = _model_dict(tm, ddim)
+    model_dict = EasyDict(
+        {**model_dict, "inverse_scheduler":
+         DDIMInverseScheduler.from_config(ddim.config)})
+
+    for gs in (7.5, 0.0):
+        t_traj = pipelines.invert(
+            model_dict, torch.from_numpy(x0.copy()),
+            tuple(map(torch.from_numpy, (text, uncond, cond))),
+            STEPS, guidance_scale=gs)
+
+        final, traj = invert(
+            fm, params, sched.make_schedule(STEPS),
+            jnp.asarray(x0.transpose(0, 2, 3, 1)), jnp.asarray(text),
+            guidance_scale=gs)
+
+        assert traj.shape[0] == t_traj.shape[0] == STEPS
+        # reference stacks most-noised-first (pipelines.py:537); lmdx
+        # returns ascending-from-x0.
+        for i in range(STEPS):
+            np.testing.assert_allclose(
+                np.asarray(traj[i]), _nhwc(t_traj[STEPS - 1 - i]), atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(final), _nhwc(t_traj[0]), atol=2e-3)
