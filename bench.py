@@ -50,6 +50,11 @@ BATCH = int(os.environ.get("LMDX_BENCH_BATCH", "8"))
 # CoarseSegmenter; random-init weights — timing is weight-independent.
 USE_SAM = bool(int(os.environ.get("LMDX_BENCH_SAM", "0")))
 
+# LMDX_BENCH_METHOD=lmd measures the training-free flagship (per-box
+# CA-energy guidance, max_index_step 30 — reference generation/lmd.py
+# defaults) instead of LMD+ (GLIGEN adapters, per-box guidance off).
+METHOD = os.environ.get("LMDX_BENCH_METHOD", "lmd_plus")
+
 
 def _specs():
     """BATCH distinct 2-box layouts (different objects/placements/seeds)."""
@@ -77,7 +82,7 @@ def main():
 
     jit_cache.enable()
 
-    from lmdx.methods.batch import run_lmd_plus_batch
+    from lmdx.methods.batch import run_lmd_batch, run_lmd_plus_batch
     from lmdx.runtime import models as runtime_models
 
     bundle = runtime_models.load_bundle("gligen/diffusers-generation-text-box",
@@ -100,8 +105,10 @@ def main():
             jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32))["params"]
         segmenter = samlib.FlaxSamSegmenter(sam_params, sam_cfg)
 
+    run_batch = run_lmd_batch if METHOD == "lmd" else run_lmd_plus_batch
+
     def once():
-        return run_lmd_plus_batch(
+        return run_batch(
             specs, bundle, bg_seeds=list(range(1, BATCH + 1)),
             num_inference_steps=50, segmenter=segmenter)
 
@@ -116,12 +123,12 @@ def main():
         times.append(time.perf_counter() - t0)
 
     value = BATCH / min(times)
-    metric = "lmd_plus_sd512_50step_images_per_sec_per_chip"
+    metric = f"{METHOD}_sd512_50step_images_per_sec_per_chip"
     if USE_SAM:
         metric += "_with_sam"
     extra = {}
     if BATCH == 1:
-        metric = "lmd_plus_sd512_50step_p50_latency_s" + (
+        metric = f"{METHOD}_sd512_50step_p50_latency_s" + (
             "_with_sam" if USE_SAM else "")
         value = sorted(times)[len(times) // 2]
         extra = {"unit": "s/image",
