@@ -102,10 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--multidiffusion_bootstrapping", default=20,
                         type=int)
     parser.add_argument("--use_autocast", default=None, type=int,
-                        help="accepted for reference-CLI compatibility "
-                             "(generate.py:86); lmdx always computes in "
-                             "bf16 with f32 accumulation, the TPU "
-                             "equivalent of torch autocast")
+                        help="reference generate.py:86. Default/1: bf16 "
+                             "compute with f32 accumulation (the TPU "
+                             "equivalent of torch autocast, "
+                             "lmd_plus.py:227). 0: full f32 compute — the "
+                             "reference's no-autocast training-free-LMD "
+                             "configuration (lmd.py:254)")
     for name in FLOAT_ARGS:
         parser.add_argument("--" + name, default=None, type=float)
     for name in INT_ARGS:
@@ -180,7 +182,9 @@ def main(argv=None) -> int:
     if not args.dry_run:
         from ..runtime.models import load_bundle
 
-        bundle = load_bundle(select_model_key(args))
+        bundle = load_bundle(
+            select_model_key(args),
+            dtype="float32" if args.use_autocast == 0 else None)
         if args.mesh is not None:
             from ..dist import serve as serve_lib
 

@@ -176,13 +176,22 @@ def load_bundle(
     model_key: str = "gligen/diffusers-generation-text-box",
     checkpoint_dir: str | None = None,
     seed: int = 0,
+    dtype: str | None = None,
 ) -> ModelBundle:
     """Build a ModelBundle for `model_key`.
 
     checkpoint_dir: a converted-or-HF checkpoint directory; when None, uses
     $LMDX_CHECKPOINT_DIR/<model_key> if present, else random params.
+    dtype: compute-dtype override ("float32"/"bfloat16"). The default
+    (bfloat16) is the TPU equivalent of the reference's autocast-fp16 mode
+    (lmd_plus.py:227); "float32" matches the reference's no-autocast
+    configuration (lmd.py:254, the published training-free-LMD precision).
     """
+    import dataclasses as _dc
+
     config = SD_CONFIGS[model_key]()
+    if dtype is not None:
+        config = _dc.replace(config, dtype=dtype)
     unet, text_encoder, vae, position_net = build_modules(config)
 
     if checkpoint_dir is None:

@@ -215,3 +215,30 @@ def test_stop_after_taps_matches_full_forward():
     for k in taps_full:
         np.testing.assert_allclose(np.asarray(taps_full[k]),
                                    np.asarray(taps_fast[k]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_load_bundle_dtype_override():
+    """--use_autocast 0 parity knob: load_bundle(dtype="float32") must build
+    f32-compute modules (the reference's no-autocast training-free-LMD
+    precision, lmd.py:254), while the default stays bf16 (the TPU
+    equivalent of autocast fp16, lmd_plus.py:227)."""
+    import jax.numpy as jnp
+
+    from lmdx.runtime.models import load_bundle
+
+    b32 = load_bundle("tiny-test", seed=0, dtype="float32")
+    assert b32.config.dtype == "float32"
+    assert b32.unet.dtype == jnp.float32
+    # f32 mode must NOT bf16-cast the stored params.
+    leaf = jax.tree_util.tree_leaves(b32.params["unet"])[0]
+    assert leaf.dtype == jnp.float32
+
+    # tiny-test defaults to f32 for CPU testing; the override must also
+    # switch it the other way (the production configs default to bf16).
+    b16 = load_bundle("tiny-test", seed=0, dtype="bfloat16")
+    assert b16.config.dtype == "bfloat16"
+    assert b16.unet.dtype == jnp.bfloat16
+    from lmdx.config import SD_CONFIGS
+
+    assert SD_CONFIGS["gligen/diffusers-generation-text-box"]().dtype == "bfloat16"
