@@ -1,0 +1,280 @@
+"""METHOD-level numeric parity: the reference's own generation/lmd.py run()
+vs lmdx.methods.lmd.run on identical tiny weights.
+
+tests/test_pipeline_parity.py pins the sampler loops; tests/test_torch_parity
+pins the modules; tests/test_method_goldens.py pins lmdx's orchestration
+against itself. This test closes the last rung: the method ORCHESTRATION glue
+runs against the reference implementation itself — spec conversion and box
+sort order, box centering with floor padding, the per-box seed streams
+(bit-exact under the torch noise backend), negative-prompt splicing, prompt
+assembly, word/token index selection, per-box CA-guided generation (batched
+in lmdx, sequential in the reference — any batching cross-talk fails here),
+attention aggregation, masked composition with mass-center alignment, the
+ref-CA shift by composition offsets, frozen-mask derivation, and the final
+guided partial-frozen regeneration.
+
+SAM and the VAE are stubbed IDENTICALLY on both sides (scripted per-box
+masks; the linear latents->image decode of test_pipeline_parity._StubVAE):
+their real implementations are pinned by tests/test_torch_parity.py and
+tests/test_sam.py, and stubbing keeps this test deterministic about the glue
+rather than about boundary pixels of a random-weight segmenter.
+
+The reference modules import over the structural shims in
+scripts/_diffusers_shim (diffusers/easydict/inflect/gradio); the hard-coded
+SD-512 module constants (height/width/H/W, lmd.py:24-26; the SD1.x attention
+keys, lmd.py:33,418) are rebound to the tiny topology the same way lmdx
+derives them.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests.test_pipeline_parity import (  # noqa: E402
+    _load_reference_pipelines,
+    _StubVAE,
+    _tiny_pair,
+)
+
+pytestmark = pytest.mark.slow
+
+STEPS = 6
+LAT = 16                      # tiny latent side (tiny_test: 32 // vae_scale 2)
+HEIGHT = WIDTH = LAT * 8      # reference derives latents as height//8
+KEYS = [("mid", 0, 0, 0), ("up", 1, 0, 0), ("up", 1, 1, 0)]
+OBJ_KEY = ("down", 0, 0, 0)   # tiny-topology form of lmd.py:418's (down,2,1,0)
+
+SPEC = {  # gen_boxes in the patched 128x128 pixel space
+    "prompt": "A realistic scene with a red cube and a blue ball",
+    "gen_boxes": [
+        ("a red cube", (12, 72, 32, 32)),
+        ("a blue ball", (72, 68, 26, 26)),
+    ],
+    "bg_prompt": "A realistic scene",
+    "extra_neg_prompt": "smudged",
+}
+
+# Scripted per-box SAM masks, consumed by call order (box order is the
+# name-sorted spec order on both sides). Different sizes on purpose: the
+# composition pastes largest-first (utils/latents.py:56-58).
+def _scripted_masks():
+    m0 = np.zeros((LAT, LAT), bool)
+    m0[8:15, 1:8] = True          # "a blue ball" (sorted first), 49 px
+    m1 = np.zeros((LAT, LAT), bool)
+    m1[9:16, 6:15] = True         # "a red cube", 63 px
+    return [m0, m1]
+
+
+def _mini_clip_vocab(dirpath):
+    """Character-level CLIP vocab (every printable char bare and </w>-final,
+    plus the specials) — tokenizes any ASCII prompt; shared verbatim by
+    transformers.CLIPTokenizer and lmdx's ClipBpeTokenizer."""
+    chars = [c for c in (chr(i) for i in range(32, 127)) if not c.isspace()]
+    vocab_tokens = chars + [c + "</w>" for c in chars]
+    vocab_tokens += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(vocab_tokens))}
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(dirpath, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    return vocab
+
+
+def _build_clip_pair(vocab_dir):
+    """(hf tokenizer, torch CLIPTextModel, lmdx clip config, converted
+    params) over the shared mini vocab."""
+    from transformers import CLIPTextConfig as TClipCfg
+    from transformers import CLIPTextModel, CLIPTokenizer
+
+    from lmdx.config import CLIPTextConfig
+    from lmdx.runtime.convert import convert_text_encoder
+
+    vocab = _mini_clip_vocab(vocab_dir)
+    hf_tok = CLIPTokenizer(os.path.join(vocab_dir, "vocab.json"),
+                           os.path.join(vocab_dir, "merges.txt"))
+    hf_tok.model_max_length = 77
+
+    fcfg = CLIPTextConfig(vocab_size=len(vocab), hidden_size=32,
+                          intermediate_size=64, num_layers=2, num_heads=2,
+                          max_length=77)
+    tcfg = TClipCfg(
+        vocab_size=fcfg.vocab_size,
+        hidden_size=fcfg.hidden_size,
+        intermediate_size=fcfg.intermediate_size,
+        num_hidden_layers=fcfg.num_layers,
+        num_attention_heads=fcfg.num_heads,
+        max_position_embeddings=fcfg.max_length,
+        hidden_act="quick_gelu",
+        eos_token_id=vocab["<|endoftext|>"],
+        bos_token_id=vocab["<|startoftext|>"],
+        pad_token_id=vocab["<|endoftext|>"],
+    )
+    torch.manual_seed(7)
+    tm = CLIPTextModel(tcfg).eval()
+
+    class _Cfg:
+        clip = fcfg
+
+    params = convert_text_encoder(
+        {k: np.asarray(v) for k, v in tm.state_dict().items()}, _Cfg())
+    return hf_tok, tm, fcfg, params
+
+
+def _load_reference_lmd(model_dict):
+    """Import generation/lmd.py with its import-order DI satisfied: the
+    `models` package resolves to the already-loaded refmodels namespace, and
+    model_dict is installed before the module binds its globals
+    (lmd.py:12-19)."""
+    _load_reference_pipelines()
+    pkg = sys.modules["refmodels"]
+    sys.modules.setdefault("models", pkg)
+    pkg.torch_device = "cpu"
+    pkg.encode_prompts = sys.modules["refmodels.models"].encode_prompts
+    for name in ("parse", "attn", "vis"):
+        importlib.import_module(f"utils.{name}")
+    refsam = importlib.import_module("refmodels.sam")
+    pkg.sam = refsam
+    pkg.model_dict = model_dict
+
+    if "generation.lmd" in sys.modules:
+        lmd = sys.modules["generation.lmd"]
+        lmd.model_dict = model_dict
+        (lmd.vae, lmd.tokenizer, lmd.text_encoder, lmd.unet, lmd.scheduler,
+         lmd.dtype) = (model_dict.vae, model_dict.tokenizer,
+                       model_dict.text_encoder, model_dict.unet,
+                       model_dict.scheduler, model_dict.dtype)
+    else:
+        lmd = importlib.import_module("generation.lmd")
+    return lmd, refsam
+
+
+class _ScriptedSegmenter:
+    """lmdx masking.Segmenter returning the scripted mask for each call, in
+    box order (matches the reference-side sam_refine_attn stub)."""
+
+    needs_image = False
+
+    def __init__(self, masks):
+        self.masks = list(masks)
+        self.i = 0
+
+    def segment(self, image=None, input_points=None, input_boxes=None,
+                target_hw=None):
+        mask = self.masks[self.i]
+        self.i += 1
+        return mask[None].astype(bool), np.ones((1,), np.float32)
+
+
+def _stub_decode_latents(bundle, latents):
+    """lmdx-side twin of reference pipelines.decode over _StubVAE
+    (pipelines.py:116-127 with vae.decode = z[:, :3])."""
+    z = np.asarray(latents, np.float32) / 0.18215
+    img = np.clip(z[..., :3] / 2.0 + 0.5, 0.0, 1.0)
+    return np.round(img * 255.0).astype(np.uint8)
+
+
+def test_lmd_method_matches_reference(tmp_path, monkeypatch):
+    _load_reference_pipelines()  # puts the shim dir (easydict &c) on sys.path
+    from easydict import EasyDict
+
+    from lmdx import config as cfglib
+    from lmdx import methods
+    from lmdx.methods import _grounded, base
+    from lmdx.nn.clip import CLIPTextEncoder
+    from lmdx.runtime import models as rm
+    from lmdx.text.tokens import ClipBpeTokenizer
+
+    # ---- shared weights --------------------------------------------------
+    t_unet, f_unet, unet_params, _, cfg = _tiny_pair(use_gligen=False)
+    vocab_dir = str(tmp_path / "tok")
+    hf_tok, t_text, clip_cfg, text_params = _build_clip_pair(vocab_dir)
+
+    # ---- reference side ---------------------------------------------------
+    from diffusers import DDIMScheduler
+
+    model_dict = EasyDict(
+        vae=_StubVAE(), tokenizer=hf_tok, text_encoder=t_text, unet=t_unet,
+        scheduler=DDIMScheduler(), dtype=torch.float32)
+    lmd_ref, refsam = _load_reference_lmd(model_dict)
+
+    monkeypatch.setattr(lmd_ref, "height", HEIGHT)
+    monkeypatch.setattr(lmd_ref, "width", WIDTH)
+    monkeypatch.setattr(lmd_ref, "H", LAT)
+    monkeypatch.setattr(lmd_ref, "W", LAT)
+    monkeypatch.setattr(lmd_ref, "overall_guidance_attn_keys", KEYS)
+    monkeypatch.setattr(lmd_ref, "attn_aggregation_step_start", 2)
+
+    # run() hard-codes the SD1.x obj_attn_key (down,2,1,0) in its call to
+    # get_masked_latents_all_list (lmd.py:418); rebind to the tiny key the
+    # same way lmdx's default_obj_attn_key derives it.
+    orig_gml = lmd_ref.get_masked_latents_all_list
+
+    def _gml(*args, **kwargs):
+        kwargs["obj_attn_key"] = OBJ_KEY
+        return orig_gml(*args, **kwargs)
+
+    monkeypatch.setattr(lmd_ref, "get_masked_latents_all_list", _gml)
+
+    ref_calls = {"i": 0}
+    masks = _scripted_masks()
+
+    def _fake_sam_refine_attn(sam_input_image=None, token_attn_np=None,
+                              model_dict=None, **kwargs):
+        assert np.isfinite(np.asarray(token_attn_np)).all()
+        mask = masks[ref_calls["i"]]
+        ref_calls["i"] += 1
+        return mask.copy(), 1.0
+
+    monkeypatch.setattr(refsam, "sam_refine_attn", _fake_sam_refine_attn)
+
+    # Short negatives: the char-level mini vocab turns the real default
+    # negative prompts into >77 tokens; the default strings' byte parity is
+    # pinned separately (text/template tests).
+    t_out = lmd_ref.run(SPEC, bg_seed=31, fg_seed_start=100,
+                        num_inference_steps=STEPS,
+                        so_negative_prompt="ugly, blurry",
+                        overall_negative_prompt="dull, noisy")
+    t_image = np.asarray(t_out.image)
+    assert ref_calls["i"] == 2
+
+    # ---- lmdx side ----------------------------------------------------------
+    import dataclasses
+
+    bundle_cfg = dataclasses.replace(cfg, clip=clip_cfg)
+    f_text = CLIPTextEncoder(clip_cfg)
+    params = rm.init_random_params(bundle_cfg, seed=0)
+    params = {**params, "unet": unet_params, "text": text_params}
+    bundle = rm.ModelBundle(
+        config=bundle_cfg,
+        tokenizer=ClipBpeTokenizer.from_dir(vocab_dir),
+        unet=f_unet, text_encoder=f_text,
+        vae=rm.build_modules(bundle_cfg)[2],
+        position_net=None, params=params)
+
+    monkeypatch.setattr(_grounded, "BOX_SCALE", (WIDTH, HEIGHT))
+    monkeypatch.setattr(base, "decode_latents", _stub_decode_latents)
+    monkeypatch.setenv("LMDX_NOISE_BACKEND", "torch")
+
+    f_out = methods.lmd.run(
+        SPEC, bundle, segmenter=_ScriptedSegmenter(masks),
+        bg_seed=31, fg_seed_start=100, num_inference_steps=STEPS,
+        attn_aggregation_step_start=2,
+        so_negative_prompt="ugly, blurry",
+        overall_negative_prompt="dull, noisy")
+
+    assert f_out.image.shape == t_image.shape == (LAT, LAT, 3)
+    diff = np.abs(f_out.image.astype(np.int32) - t_image.astype(np.int32))
+    assert diff.max() <= 1, (
+        f"max pixel diff {diff.max()} at {np.unravel_index(diff.argmax(), diff.shape)}"
+    )
