@@ -91,9 +91,11 @@ def _mini_clip_vocab(dirpath):
     return vocab
 
 
-def _build_clip_pair(vocab_dir):
+def _build_clip_pair(vocab_dir, hidden_size=32, num_heads=2):
     """(hf tokenizer, torch CLIPTextModel, lmdx clip config, converted
-    params) over the shared mini vocab."""
+    params) over the shared mini vocab. hidden_size=768 for the GLIGEN
+    variant: the reference hard-codes 768-dim phrase/pooler embeddings
+    (unet_2d_condition.py:572, pipelines.py:293)."""
     from transformers import CLIPTextConfig as TClipCfg
     from transformers import CLIPTextModel, CLIPTokenizer
 
@@ -105,9 +107,9 @@ def _build_clip_pair(vocab_dir):
                            os.path.join(vocab_dir, "merges.txt"))
     hf_tok.model_max_length = 77
 
-    fcfg = CLIPTextConfig(vocab_size=len(vocab), hidden_size=32,
-                          intermediate_size=64, num_layers=2, num_heads=2,
-                          max_length=77)
+    fcfg = CLIPTextConfig(vocab_size=len(vocab), hidden_size=hidden_size,
+                          intermediate_size=64, num_layers=2,
+                          num_heads=num_heads, max_length=77)
     tcfg = TClipCfg(
         vocab_size=fcfg.vocab_size,
         hidden_size=fcfg.hidden_size,
@@ -131,32 +133,33 @@ def _build_clip_pair(vocab_dir):
     return hf_tok, tm, fcfg, params
 
 
-def _load_reference_lmd(model_dict):
-    """Import generation/lmd.py with its import-order DI satisfied: the
+def _load_reference_method(name, model_dict):
+    """Import generation/<name>.py with its import-order DI satisfied: the
     `models` package resolves to the already-loaded refmodels namespace, and
     model_dict is installed before the module binds its globals
-    (lmd.py:12-19)."""
+    (lmd.py:12-19, lmd_plus.py:12-19)."""
     _load_reference_pipelines()
     pkg = sys.modules["refmodels"]
     sys.modules.setdefault("models", pkg)
     pkg.torch_device = "cpu"
     pkg.encode_prompts = sys.modules["refmodels.models"].encode_prompts
-    for name in ("parse", "attn", "vis"):
-        importlib.import_module(f"utils.{name}")
+    for mod in ("parse", "attn", "vis"):
+        importlib.import_module(f"utils.{mod}")
     refsam = importlib.import_module("refmodels.sam")
     pkg.sam = refsam
     pkg.model_dict = model_dict
 
-    if "generation.lmd" in sys.modules:
-        lmd = sys.modules["generation.lmd"]
-        lmd.model_dict = model_dict
-        (lmd.vae, lmd.tokenizer, lmd.text_encoder, lmd.unet, lmd.scheduler,
-         lmd.dtype) = (model_dict.vae, model_dict.tokenizer,
-                       model_dict.text_encoder, model_dict.unet,
-                       model_dict.scheduler, model_dict.dtype)
+    modname = f"generation.{name}"
+    if modname in sys.modules:
+        method = sys.modules[modname]
+        method.model_dict = model_dict
+        (method.vae, method.tokenizer, method.text_encoder, method.unet,
+         method.scheduler, method.dtype) = (
+            model_dict.vae, model_dict.tokenizer, model_dict.text_encoder,
+            model_dict.unet, model_dict.scheduler, model_dict.dtype)
     else:
-        lmd = importlib.import_module("generation.lmd")
-    return lmd, refsam
+        method = importlib.import_module(modname)
+    return method, refsam
 
 
 class _ScriptedSegmenter:
@@ -206,7 +209,7 @@ def test_lmd_method_matches_reference(tmp_path, monkeypatch):
     model_dict = EasyDict(
         vae=_StubVAE(), tokenizer=hf_tok, text_encoder=t_text, unet=t_unet,
         scheduler=DDIMScheduler(), dtype=torch.float32)
-    lmd_ref, refsam = _load_reference_lmd(model_dict)
+    lmd_ref, refsam = _load_reference_method("lmd", model_dict)
 
     monkeypatch.setattr(lmd_ref, "height", HEIGHT)
     monkeypatch.setattr(lmd_ref, "width", WIDTH)
@@ -270,6 +273,146 @@ def test_lmd_method_matches_reference(tmp_path, monkeypatch):
         SPEC, bundle, segmenter=_ScriptedSegmenter(masks),
         bg_seed=31, fg_seed_start=100, num_inference_steps=STEPS,
         attn_aggregation_step_start=2,
+        so_negative_prompt="ugly, blurry",
+        overall_negative_prompt="dull, noisy")
+
+    assert f_out.image.shape == t_image.shape == (LAT, LAT, 3)
+    diff = np.abs(f_out.image.astype(np.int32) - t_image.astype(np.int32))
+    assert diff.max() <= 1, (
+        f"max pixel diff {diff.max()} at {np.unravel_index(diff.argmax(), diff.shape)}"
+    )
+
+
+def _gligen768_pair():
+    """Torch vendored GLIGEN UNet + matching lmdx modules at
+    cross_attention_dim=768 — the width the reference hard-codes for
+    phrase/pooler embeddings (unet_2d_condition.py:572 PositionNet
+    positive_len, pipelines.py:293 prepare buffer) — and gligen_max_objs=30
+    (pipelines.py:289), so the fuser sees the same 30 grounding slots."""
+    import dataclasses
+
+    from lmdx import config as cfglib
+    from lmdx.nn import unet as unet_lib
+    from lmdx.runtime.convert import convert_position_net, convert_unet
+    from tests.test_torch_parity import _load_vendored_unet_module, _to_np
+
+    unet_mod = _load_vendored_unet_module()
+    cfg = cfglib.tiny_test()
+    ucfg = dataclasses.replace(cfg.unet, cross_attention_dim=768,
+                               gligen_max_objs=30)
+    cfg = dataclasses.replace(cfg, unet=ucfg)
+
+    torch.manual_seed(3)
+    tm = unet_mod.UNet2DConditionModel(
+        sample_size=16,
+        in_channels=4,
+        out_channels=4,
+        down_block_types=ucfg.down_block_types,
+        up_block_types=ucfg.up_block_types,
+        block_out_channels=ucfg.block_out_channels,
+        layers_per_block=ucfg.layers_per_block,
+        cross_attention_dim=768,
+        attention_head_dim=ucfg.num_attention_heads[0],
+        norm_num_groups=ucfg.norm_num_groups,
+        use_gated_attention=True,
+    ).eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if "alpha_attn" in name:
+                p.fill_(0.6)
+            elif "alpha_dense" in name:
+                p.fill_(-0.3)
+            elif ("null_positive_feature" in name
+                  or "null_position_feature" in name):
+                p.normal_(0.0, 0.5)
+    sd = _to_np(tm.state_dict())
+    params = convert_unet(sd, cfg)
+    pn_params = convert_position_net(sd)
+    fm = unet_lib.UNet2DCondition(ucfg)
+    return tm, fm, params, pn_params, cfg
+
+
+def test_lmd_plus_method_matches_reference(tmp_path, monkeypatch):
+    """generation/lmd_plus.py run() vs lmdx.methods.lmd_plus.run: the GLIGEN
+    flagship's glue — per-box grounding-condition assembly (one box in slot
+    0 of 30), scheduled-sampling step counts for both passes, per-box
+    guidance OFF (max_index_step=0) while capture stays on for ref-CA,
+    box-prompted masks, horizontal-only handling, flattened overall
+    boxes/phrases ordering, and the frozen overall GLIGEN regeneration."""
+    _load_reference_pipelines()
+    from easydict import EasyDict
+
+    from lmdx import methods
+    from lmdx.methods import _grounded, base
+    from lmdx.nn.clip import CLIPTextEncoder
+    from lmdx.runtime import models as rm
+    from lmdx.text.tokens import ClipBpeTokenizer
+
+    t_unet, f_unet, unet_params, pn_params, cfg = _gligen768_pair()
+    vocab_dir = str(tmp_path / "tok")
+    hf_tok, t_text, clip_cfg, text_params = _build_clip_pair(
+        vocab_dir, hidden_size=768, num_heads=8)
+
+    from diffusers import DDIMScheduler
+
+    model_dict = EasyDict(
+        vae=_StubVAE(), tokenizer=hf_tok, text_encoder=t_text, unet=t_unet,
+        scheduler=DDIMScheduler(), dtype=torch.float32)
+    lp_ref, refsam = _load_reference_method("lmd_plus", model_dict)
+
+    monkeypatch.setattr(lp_ref, "height", HEIGHT)
+    monkeypatch.setattr(lp_ref, "width", WIDTH)
+    monkeypatch.setattr(lp_ref, "H", LAT)
+    monkeypatch.setattr(lp_ref, "W", LAT)
+    monkeypatch.setattr(lp_ref, "guidance_attn_keys", KEYS)
+
+    orig_gml = lp_ref.get_masked_latents_all_list
+
+    def _gml(*args, **kwargs):
+        kwargs["obj_attn_key"] = OBJ_KEY
+        return orig_gml(*args, **kwargs)
+
+    monkeypatch.setattr(lp_ref, "get_masked_latents_all_list", _gml)
+
+    ref_calls = {"i": 0}
+    masks = _scripted_masks()
+
+    def _fake_sam_refine_box(sam_input_image=None, box=None, model_dict=None,
+                             **kwargs):
+        assert 0.0 <= min(box) and max(box) <= 1.0
+        mask = masks[ref_calls["i"]]
+        ref_calls["i"] += 1
+        return mask.copy(), 1.0
+
+    monkeypatch.setattr(refsam, "sam_refine_box", _fake_sam_refine_box)
+
+    t_out = lp_ref.run(SPEC, bg_seed=17, fg_seed_start=200,
+                       num_inference_steps=STEPS,
+                       so_negative_prompt="ugly, blurry",
+                       overall_negative_prompt="dull, noisy")
+    t_image = np.asarray(t_out.image)
+    assert ref_calls["i"] == 2
+
+    import dataclasses
+
+    bundle_cfg = dataclasses.replace(cfg, clip=clip_cfg)
+    params = rm.init_random_params(bundle_cfg, seed=0)
+    params = {**params, "unet": unet_params, "text": text_params,
+              "position_net": pn_params}
+    _, _, f_vae, f_pn = rm.build_modules(bundle_cfg)
+    bundle = rm.ModelBundle(
+        config=bundle_cfg,
+        tokenizer=ClipBpeTokenizer.from_dir(vocab_dir),
+        unet=f_unet, text_encoder=CLIPTextEncoder(clip_cfg),
+        vae=f_vae, position_net=f_pn, params=params)
+
+    monkeypatch.setattr(_grounded, "BOX_SCALE", (WIDTH, HEIGHT))
+    monkeypatch.setattr(base, "decode_latents", _stub_decode_latents)
+    monkeypatch.setenv("LMDX_NOISE_BACKEND", "torch")
+
+    f_out = methods.lmd_plus.run(
+        SPEC, bundle, segmenter=_ScriptedSegmenter(masks),
+        bg_seed=17, fg_seed_start=200, num_inference_steps=STEPS,
         so_negative_prompt="ugly, blurry",
         overall_negative_prompt="dull, noisy")
 
