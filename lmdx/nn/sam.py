@@ -15,6 +15,7 @@ hand-tuned kernels.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import flax.linen as nn
@@ -400,6 +401,40 @@ def _bucket_pow2(n: int) -> int:
     return b
 
 
+def _torch_bilinear(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """Bilinear resize over the LAST TWO axes with torch
+    F.interpolate(mode='bilinear', align_corners=False, antialias=False)
+    semantics: 2-tap sampling at half-pixel-mapped coordinates, border
+    clamped. jax.image.resize differs on DOWNSCALE (it antialiases), and
+    the reference's mask chain downscales twice (transformers
+    post_process_masks; models/sam.py:51-54) — so the exact kernel matters
+    for mask-bit parity."""
+    h, w = x.shape[-2], x.shape[-1]
+    ys = jnp.clip((jnp.arange(oh) + 0.5) * (h / oh) - 0.5, 0.0, h - 1.0)
+    xs = jnp.clip((jnp.arange(ow) + 0.5) * (w / ow) - 0.5, 0.0, w - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(x.dtype)
+    wx = (xs - x0).astype(x.dtype)
+    top = x[..., y0, :] * (1.0 - wy)[:, None] + x[..., y1, :] * wy[:, None]
+    return top[..., :, x0] * (1.0 - wx) + top[..., :, x1] * wx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("size", "oh", "ow", "th", "tw"))
+def _postprocess_masks(masks, size, oh, ow, th, tw):
+    """Reference mask chain, on device: low-res logits -> bilinear to the
+    model grid -> bilinear to the original image size -> threshold at 0
+    (transformers post_process_masks, models/sam.py:41-44) -> bilinear to
+    the target latent shape -> nonzero (models/sam.py:51-54's
+    F.interpolate(...).type(torch.bool))."""
+    up = _torch_bilinear(masks.astype(jnp.float32), size, size)
+    orig = (_torch_bilinear(up, oh, ow) > 0.0).astype(jnp.float32)
+    return _torch_bilinear(orig, th, tw) != 0.0
+
+
 class FlaxSamSegmenter:
     """masking.Segmenter backed by Flax SAM.
 
@@ -481,8 +516,6 @@ class FlaxSamSegmenter:
                     target_hw=target_hw))
             return out
 
-        from ..sampling.masking import resize_mask
-
         arrs = [self._preprocess(im) for im in images]
         if len({a.shape for a in arrs}) > 1:
             # Mixed sizes (not produced by any pipeline path): host-resize
@@ -495,17 +528,32 @@ class FlaxSamSegmenter:
                                              PILImage.BILINEAR), np.uint8)
                 for a in arrs]
         pixels = np.stack(arrs)
+        size = self.config.image_size
         # Both prompt kinds share the compiled 2-slot shape: a lone point
         # rides slot 0 with slot 1 padded as "not a point" (label -1).
+        # Coordinates replicate the reference chain exactly: normalized box
+        # -> integer pixels in IMAGE space (utils.scale_proportion,
+        # models/sam.py:186) -> the processor's rescale to the model grid
+        # -> the torch prompt encoder's +0.5 pixel-center shift, normalized.
         points = np.zeros((n, 2, 2), np.float32)
         labels = np.full((n, 2), -1, np.int32)
         if input_boxes is not None:
-            for i, [(x0, y0, x1, y1)] in enumerate(input_boxes):
-                points[i] = [(x0, y0), (x1, y1)]
+            from ..core import boxes as boxlib
+
+            for i, [box] in enumerate(input_boxes):
+                oh, ow = arrs[i].shape[:2]
+                x0, y0, x1, y1 = boxlib.scale_proportion(box, oh, ow)
+                sx, sy = size / ow, size / oh
+                points[i] = [((x0 * sx + 0.5) / size, (y0 * sy + 0.5) / size),
+                             ((x1 * sx + 0.5) / size, (y1 * sy + 0.5) / size)]
                 labels[i] = (2, 3)
         elif input_points is not None:
             for i, [(px, py)] in enumerate(input_points):
-                points[i, 0] = (px, py)
+                # Normalized point -> model-grid pixel -> +0.5 shift: the
+                # reference's pixel point is integer in image space
+                # (sam.py:150-154), so px*size is already exact.
+                points[i, 0] = ((px * size + 0.5) / size,
+                                (py * size + 0.5) / size)
                 labels[i, 0] = 1
         else:
             raise ValueError("need input_points or input_boxes")
@@ -520,14 +568,14 @@ class FlaxSamSegmenter:
 
         masks, iou = self._apply(self.params, jnp.asarray(pixels),
                                  jnp.asarray(points), jnp.asarray(labels))
-        masks = np.asarray(masks[:n]) > 0.0   # (n, 3, S/4, S/4)
+        # Reference-exact postprocess on device (only (n, 3, th, tw) bools
+        # cross the tunnel, not model-resolution float masks).
+        oh, ow = arrs[0].shape[:2]
+        th, tw = target_hw
+        masks = np.asarray(_postprocess_masks(
+            masks, size=size, oh=oh, ow=ow, th=th, tw=tw)[:n])
         iou = np.asarray(iou[:n], np.float32)
-        out = []
-        for i in range(n):
-            resized = np.stack(
-                [resize_mask(m, *target_hw) for m in masks[i]])
-            out.append((resized.astype(bool), iou[i]))
-        return out
+        return [(masks[i], iou[i]) for i in range(n)]
 
 
 # ---- conversion ------------------------------------------------------------

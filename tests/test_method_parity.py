@@ -421,3 +421,118 @@ def test_lmd_plus_method_matches_reference(tmp_path, monkeypatch):
     assert diff.max() <= 1, (
         f"max pixel diff {diff.max()} at {np.unravel_index(diff.argmax(), diff.shape)}"
     )
+
+
+# ---- SAM refinement chain vs the reference's models/sam.py ------------------
+
+class _NoAutocastTorch:
+    """torch proxy for refmodels.sam: autocast becomes a no-op so the
+    reference computes f32 on CPU (sam.py:39 hard-codes
+    torch.autocast(torch_device); on CPU that would silently run bf16,
+    which is neither the reference's CUDA fp16 nor this test's f32)."""
+
+    def __getattr__(self, name):
+        return getattr(torch, name)
+
+    @staticmethod
+    def autocast(*args, **kwargs):
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
+def _sam_rig(monkeypatch):
+    """(reference sam module with a tiny real SamModel+SamProcessor wired in,
+    matching lmdx FlaxSamSegmenter, model_dict) — f32 both sides."""
+    import jax.numpy as jnp
+    from transformers import SamImageProcessor, SamProcessor
+
+    from lmdx.nn import sam as samlib
+    from tests.test_torch_parity import sam_pair as _  # noqa: F401
+
+    # Rebuild the pair inline (the fixture is module-scoped to the other
+    # file; construction is cheap at tiny size).
+    from tests import test_torch_parity as ttp
+
+    tm, fm, params, fcfg = ttp.sam_pair.__wrapped__()
+    # Random-init mask logits have sigma ~1e-5 — BELOW the legitimate
+    # cross-framework f32 difference (~2e-5), so thresholded masks would be
+    # fp-coin-flips. Bias the hypernetwork outputs and upscale conv so the
+    # logits are O(1) spatial structure instead; re-convert so both sides
+    # share the biased weights.
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(11)
+        for mlp in tm.mask_decoder.output_hypernetworks_mlps:
+            mlp.proj_out.bias.normal_(0.0, 1.0, generator=g)
+        tm.mask_decoder.upscale_conv2.bias.normal_(0.0, 0.5, generator=g)
+    params = samlib.convert_sam(ttp._to_np(tm.state_dict()), fcfg)
+
+    _load_reference_pipelines()
+    from easydict import EasyDict
+
+    refsam = importlib.import_module("refmodels.sam")
+    monkeypatch.setattr(refsam, "torch", _NoAutocastTorch())
+
+    size = fcfg.image_size
+    processor = SamProcessor(SamImageProcessor(
+        size={"longest_edge": size},
+        pad_size={"height": size, "width": size}))
+    model_dict = EasyDict(sam_model=tm, sam_processor=processor)
+
+    segmenter = samlib.FlaxSamSegmenter(params, fcfg, dtype=jnp.float32)
+    return refsam, model_dict, segmenter, fcfg
+
+
+def test_sam_refine_box_matches_reference(monkeypatch):
+    """models/sam.py sam_refine_box (SamProcessor preprocessing, box-corner
+    prompts, post_process_masks upscale->threshold chain, target resize,
+    coarse-IoU largest_over_conf selection; sam.py:176-213) vs lmdx
+    refine_masks_from_boxes over FlaxSamSegmenter with converted weights."""
+    from lmdx.sampling import masking
+
+    refsam, model_dict, segmenter, fcfg = _sam_rig(monkeypatch)
+    size = fcfg.image_size
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    box = (0.15, 0.2, 0.8, 0.7)
+
+    t_mask, t_conf = refsam.sam_refine_box(
+        sam_input_image=img, box=box, model_dict=model_dict,
+        height=size, width=size, H=16, W=16,
+        discourage_mask_below_confidence=0.85,
+        discourage_mask_below_coarse_iou=0.25, verbose=False)
+
+    [f_mask] = masking.refine_masks_from_boxes(
+        [box], [img], (16, 16), segmenter)
+
+    assert t_mask.shape == f_mask.shape == (16, 16)
+    np.testing.assert_array_equal(f_mask.astype(bool), np.asarray(t_mask))
+
+
+def test_sam_refine_attn_matches_reference(monkeypatch):
+    """models/sam.py sam_refine_attn (gaussian smoothing, threshold, the
+    point prompt at the attention argmax scaled to image pixels, coarse-IoU
+    selection; sam.py:125-172) vs lmdx refine_masks_from_attn."""
+    from lmdx.sampling import masking
+
+    refsam, model_dict, segmenter, fcfg = _sam_rig(monkeypatch)
+    size = fcfg.image_size
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    attn = rng.random((16, 16)).astype(np.float32)
+    attn[5:9, 6:11] += 1.5  # a clear blob so the threshold mask is stable
+
+    t_mask, t_conf = refsam.sam_refine_attn(
+        sam_input_image=img, token_attn_np=attn, model_dict=model_dict,
+        height=size, width=size, H=16, W=16,
+        use_box_input=False, gaussian_sigma=1.5, mask_th_for_box=0.05,
+        n_erode_dilate_mask_for_box=1, mask_th_for_point=0.25,
+        discourage_mask_below_confidence=0.85,
+        discourage_mask_below_coarse_iou=0.25, verbose=False)
+
+    [f_mask] = masking.refine_masks_from_attn(
+        [attn], [img], (16, 16), segmenter,
+        masking.RefineConfig(use_box_input=False, mask_th_for_point=0.25))
+
+    assert t_mask.shape == f_mask.shape == (16, 16)
+    np.testing.assert_array_equal(f_mask.astype(bool), np.asarray(t_mask))
