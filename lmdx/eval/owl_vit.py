@@ -80,8 +80,12 @@ class FlaxOwlViTDetector:
         scores = probs.max(axis=-1)
         labels = probs.argmax(axis=-1)
         cx, cy, w, h = boxes.T
+        # NOT clipped to [0,1]: the reference's post_process keeps raw
+        # corner coordinates (eval.py:136-144), and the predicates consume
+        # them as-is — clipping here would shift mass centers vs the
+        # published protocol.
         xyxy = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
-        return np.clip(xyxy, 0.0, 1.0), scores, labels
+        return xyxy, scores, labels
 
 
 def eval_prompt(
@@ -108,7 +112,9 @@ def eval_prompt(
         kept = nms(np.asarray(boxes), np.asarray(scores), nms_threshold)
         boxes, scores, labels = boxes[kept], scores[kept], labels[kept]
 
-    height = width = 512  # predicate box space (the LLM canvas)
+    # Predicate box space: the image's own pixel size (reference
+    # eval.py:130,168 — equals the 512 LLM canvas for production images).
+    height, width = np.asarray(image).shape[:2]
     det_boxes = [
         {"name": text[int(label)],
          "bounding_box": to_gen_box_format(box, width, height),

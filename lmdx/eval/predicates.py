@@ -190,11 +190,14 @@ def class_aware_nms(boxes, scores, labels, threshold: float):
     scores = np.asarray(scores)
     labels = np.asarray(labels)
     keep: list[int] = []
+    # Output order = the reference's (eval.py:83-104): groups in ascending
+    # label order, each group in descending score order. Order is
+    # protocol-relevant — the spatial predicate takes the FIRST detection
+    # matching a name (utils/eval/utils.py).
     for label in np.unique(labels):
         idx = np.where(labels == label)[0]
         kept_local = nms(boxes[idx], scores[idx], threshold)
         keep.extend(int(idx[k]) for k in kept_local)
-    keep = sorted(keep, key=lambda i: -scores[i])
     return boxes[keep], scores[keep], labels[keep]
 
 

@@ -9,8 +9,11 @@ irregular raises so a silent wrong pluralization can't skew a parity test.
 """
 
 _NUMBER_WORDS = {
-    1: "one", 2: "two", 3: "three", 4: "four", 5: "five",
+    0: "zero", 1: "one", 2: "two", 3: "three", 4: "four", 5: "five",
     6: "six", 7: "seven", 8: "eight", 9: "nine", 10: "ten",
+    11: "eleven", 12: "twelve", 13: "thirteen", 14: "fourteen",
+    15: "fifteen", 16: "sixteen", 17: "seventeen", 18: "eighteen",
+    19: "nineteen", 20: "twenty",
 }
 
 _IRREGULAR = {
@@ -37,6 +40,11 @@ class engine:  # noqa: N801 — inflect's public name
         else:
             plural = head + "s"
         return " ".join(words[:-1] + [plural])
+
+    # utils/eval/lmd.py:113,139 calls it `plural`; parse.py calls it
+    # `plural_noun` — same behavior for the noun phrases both feed it.
+    def plural(self, noun: str) -> str:
+        return self.plural_noun(noun)
 
     def number_to_words(self, n) -> str:
         n = int(n)

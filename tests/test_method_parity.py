@@ -536,3 +536,138 @@ def test_sam_refine_attn_matches_reference(monkeypatch):
 
     assert t_mask.shape == f_mask.shape == (16, 16)
     np.testing.assert_array_equal(f_mask.astype(bool), np.asarray(t_mask))
+
+
+# ---- stage-2 eval protocol vs the reference's utils/eval --------------------
+
+def test_owl_vit_eval_matches_reference(tmp_path, monkeypatch):
+    """The reference's own utils/eval/eval.py eval_prompt (OwlViTProcessor
+    preprocessing, post_process box conversion, score threshold, class-aware
+    NMS, to_gen_box_format, task predicate; eval.py:120-174) vs
+    lmdx.eval.owl_vit.eval_prompt over a matched tiny OwlViT with converted
+    weights: the FINAL DETECTION LISTS and the verdict must agree. Class/
+    projection weights are amplified so the detection structure sits far
+    above cross-framework fp differences."""
+    import dataclasses
+
+    from PIL import Image
+
+    _load_reference_pipelines()
+    import importlib as _il
+
+    ev = _il.import_module("utils.eval")
+
+    from transformers import CLIPTokenizer, OwlViTConfig as TOwlCfg
+    from transformers import (OwlViTForObjectDetection, OwlViTImageProcessor,
+                              OwlViTProcessor)
+
+    from lmdx.eval import owl_vit as fowl
+    from lmdx.eval.prompts import get_lmd_prompts
+    from lmdx.nn import owlvit as owlvit_lib
+    from lmdx.text.tokens import ClipBpeTokenizer
+
+    vocab_dir = str(tmp_path / "tok")
+    vocab = _mini_clip_vocab(vocab_dir)
+
+    fcfg = dataclasses.replace(owlvit_lib.tiny_owlvit(), projection_dim=32)
+    # max_length 64 instead of the real checkpoint's 16: the char-level
+    # mini vocab makes "a photo of a red cube" ~20 tokens.
+    fcfg = dataclasses.replace(
+        fcfg, text=dataclasses.replace(fcfg.text, vocab_size=len(vocab),
+                                       max_length=64))
+    tcfg = TOwlCfg(
+        text_config=dict(
+            vocab_size=fcfg.text.vocab_size,
+            hidden_size=fcfg.text.hidden_size,
+            intermediate_size=fcfg.text.intermediate_size,
+            num_hidden_layers=fcfg.text.num_layers,
+            num_attention_heads=fcfg.text.num_heads,
+            max_position_embeddings=fcfg.text.max_length,
+        ),
+        vision_config=dict(
+            hidden_size=fcfg.vision_hidden,
+            intermediate_size=fcfg.vision_mlp,
+            num_hidden_layers=fcfg.vision_layers,
+            num_attention_heads=fcfg.vision_heads,
+            image_size=fcfg.image_size,
+            patch_size=fcfg.patch_size,
+        ),
+        projection_dim=fcfg.projection_dim,
+    )
+    torch.manual_seed(2)
+    tm = OwlViTForObjectDetection(tcfg).eval()
+    with torch.no_grad():
+        # Random-init class logits are ~1e-4, below legitimate
+        # cross-framework fp noise; amplify the query-dependent similarity
+        # and the per-patch shift so detections are structurally stable.
+        tm.owlvit.text_projection.weight.mul_(30.0)
+        tm.class_head.logit_shift.weight.mul_(30.0)
+    params = owlvit_lib.convert_owlvit(
+        {k: np.asarray(v) for k, v in tm.state_dict().items()}, fcfg)
+
+    size = fcfg.image_size
+    hf_tok = CLIPTokenizer(os.path.join(vocab_dir, "vocab.json"),
+                           os.path.join(vocab_dir, "merges.txt"))
+    hf_tok.model_max_length = fcfg.text.max_length  # the real owlvit's 16
+    processor = OwlViTProcessor(
+        OwlViTImageProcessor(size={"height": size, "width": size}),
+        hf_tok)
+
+    # Seed chosen so every protocol decision has a wide margin over the
+    # ~1e-5 cross-framework fp difference: per-patch query-logit gap 0.008
+    # (argmax labels), score-threshold margin 0.049 (the 0.15 cutoff),
+    # same-class score gap 0.004 (NMS pick order — most seeds saturate
+    # several scores to exactly 1.0, which makes the order a tie), and
+    # pairwise-IoU margin 0.085 (the 0.15 NMS threshold).
+    rng = np.random.default_rng(25)
+    img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    png = tmp_path / "img.png"
+    Image.fromarray(img, "RGB").save(png)
+
+    prompt = get_lmd_prompts()["lmd_attribution"][0]
+
+    t_caught = {}
+    orig_eval_boxes = ev.evaluate_with_boxes
+
+    def _t_spy(boxes, eval_info, verbose=False):
+        t_caught["boxes"] = boxes
+        return orig_eval_boxes(boxes, eval_info, verbose=verbose)
+
+    monkeypatch.setattr(sys.modules["utils.eval.eval"],
+                        "evaluate_with_boxes", _t_spy)
+
+    # the reference driver wraps eval in no_grad (scripts/owl_vit_eval.py)
+    with torch.no_grad():
+        t_type, t_success = ev.eval_prompt(
+            prompt, "lmd", str(png), processor, tm,
+            score_threshold=0.15, nms_threshold=0.15,
+            use_class_aware_nms=True, use_cuda=False)
+
+    f_caught = {}
+    orig_get = fowl.get_eval_info_from_prompt
+
+    def _f_get(p):
+        texts, info = orig_get(p)
+        orig_pred = info["predicate"]
+
+        def pred(boxes, *a, **k):
+            f_caught["boxes"] = boxes
+            return orig_pred(boxes, *a, **k)
+
+        return texts, {**info, "predicate": pred}
+
+    monkeypatch.setattr(fowl, "get_eval_info_from_prompt", _f_get)
+
+    detector = fowl.FlaxOwlViTDetector(
+        params, fcfg, tokenizer=ClipBpeTokenizer.from_dir(vocab_dir))
+    f_type, f_success = fowl.eval_prompt(prompt, img, detector)
+
+    assert f_type == t_type
+    t_boxes, f_boxes = t_caught["boxes"], f_caught["boxes"]
+    assert len(t_boxes) == len(f_boxes) and len(t_boxes) > 0
+    for tb, fb in zip(t_boxes, f_boxes):
+        assert tb["name"] == fb["name"]
+        np.testing.assert_allclose(np.float64(fb["bounding_box"]),
+                                   np.float64(tb["bounding_box"]), atol=0.05)
+        assert abs(float(fb["score"]) - float(tb["score"])) < 1e-3
+    assert f_success == t_success

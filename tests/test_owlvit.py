@@ -29,7 +29,10 @@ def test_detector_shapes(tiny_detector):
     assert boxes.shape == (n, 4)
     assert scores.shape == (n,)
     assert labels.shape == (n,)
-    assert (boxes >= 0).all() and (boxes <= 1).all()
+    # Corners are NOT clipped to [0,1] (reference post_process keeps raw
+    # cx±w/2 coordinates); centers still land inside the unit canvas.
+    centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+    assert (centers >= 0).all() and (centers <= 1).all()
     assert set(np.unique(labels)) <= {0, 1}
 
 
