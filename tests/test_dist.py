@@ -39,8 +39,17 @@ def test_mesh_axes():
     assert mesh.shape["dp"] == len(jax.devices())
 
 
-def test_param_spec_rules(tiny_setup):
-    _, _, params, _ = tiny_setup
+def test_param_spec_rules():
+    # Path-only rules: eval_shape gives the param tree without the ~50 s
+    # init compile, keeping this in the fast tier (like the sdxl variant).
+    cfg = cfglib.tiny_test()
+    unet = UNet2DCondition(cfg.unet, dtype=jnp.float32)
+    h = cfg.latent_height
+    d = cfg.unet.cross_attention_dim
+    params = jax.eval_shape(
+        unet.init, jax.random.key(0), jnp.zeros((1, h, h, 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, d)),
+        objs=jnp.zeros((1, 8, d)))["params"]
     specs = meshlib.param_spec(params)
     flat = {
         jax.tree_util.keystr(path): spec

@@ -179,6 +179,7 @@ def _export_sam(params):
     return sd
 
 
+@pytest.mark.slow  # the `tiny` init is ~40 s; torch-parity pins conversion
 def test_sam_conversion_roundtrip(tiny):
     cfg, model, params = tiny
     sd = _export_sam(params)
