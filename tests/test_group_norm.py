@@ -13,6 +13,11 @@ import pytest
 
 from lmdx.nn.pallas import group_norm as gn
 
+# The kernel is a measured-and-rejected experiment (ARCHITECTURE.md §8),
+# opt-in via LMDX_PALLAS_GROUPNORM — not on the product path, so its ~55 s
+# of interpret-mode runs live in the slow tier.
+pytestmark = pytest.mark.slow
+
 
 def _flax_ref(x, scale, bias, groups, eps=1e-5, silu=False):
     mod = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=jnp.float32)
