@@ -43,11 +43,11 @@ INT_ARGS = [
     "loss_scale", "max_iter", "max_index_step", "overall_max_iter",
     "overall_max_index_step", "overall_loss_scale",
     "horizontal_shift_only", "so_horizontal_center_only", "use_ref_ca",
-    "num_inference_steps",
+    "num_inference_steps", "use_fast_schedule",
 ]
 STR_ARGS = ["so_vertical_placement"]
 BOOL_INT_ARGS = {"horizontal_shift_only", "so_horizontal_center_only",
-                 "use_ref_ca"}
+                 "use_ref_ca", "use_fast_schedule"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image-batch-size", default=1, type=int,
                         help="lmd / lmd_plus: generate N prompts per batched "
                              "pipeline invocation (throughput mode)")
+    parser.add_argument("--no-shape-schedule", action="store_true",
+                        help="batched mode: keep prompt order instead of "
+                             "grouping jobs by box count (more compiled "
+                             "shape variants)")
     parser.add_argument("--mesh", default=None,
                         help="shard the batched pipeline over a device mesh: "
                              "'auto' (dp=all devices), 'dp=N', or 'dp=N,tp=M'."
@@ -144,6 +148,44 @@ def select_model_key(args) -> str:
     return "runwayml/stable-diffusion-v1-5"
 
 
+def discover_sam_checkpoint() -> str | None:
+    """Find the SAM checkpoint without a flag. The reference loads SAM
+    unconditionally (generate.py:126, models/sam.py:13-21); lmdx auto-wires
+    the Flax SAM whenever `facebook--sam-vit-base` sits under
+    $LMDX_CHECKPOINT_DIR, so a real-weights run gets real masks by default."""
+    root = os.environ.get("LMDX_CHECKPOINT_DIR", "")
+    cand = os.path.join(root, "facebook--sam-vit-base") if root else ""
+    return cand if cand and os.path.isdir(cand) else None
+
+
+def load_segmenter(sam_checkpoint: str):
+    from ..nn import sam as samlib
+    from ..runtime.convert import _load_state_dict
+
+    sam_config = samlib.sam_vit_base()
+    return samlib.FlaxSamSegmenter(
+        samlib.convert_sam(_load_state_dict(sam_checkpoint), sam_config),
+        sam_config)
+
+
+def warn_if_coarse_on_real_weights(bundle, segmenter, run_model) -> bool:
+    """Real SD weights + no real segmenter = every mask silently degrades to
+    the coarse box (an accuracy trap the reference cannot hit — it always
+    loads SAM, generate.py:126). Warn loudly. Returns True if warned."""
+    if (run_model in ("lmd", "lmd_plus") and segmenter is None
+            and getattr(bundle, "checkpoint_dir", None)):
+        import warnings
+
+        warnings.warn(
+            "real SD weights are loaded but mask refinement is the coarse "
+            "box segmenter (no SAM checkpoint found). Grounding accuracy "
+            "will degrade. Pass --sam-checkpoint or place "
+            "facebook--sam-vit-base under $LMDX_CHECKPOINT_DIR.",
+            stacklevel=2)
+        return True
+    return False
+
+
 def make_save_dir(args) -> str:
     suffix = f"_{args.save_suffix}" if args.save_suffix else ""
     base = (f"{args.save_dir}/template{args.template_version}"
@@ -196,14 +238,13 @@ def main(argv=None) -> int:
                 print(f"NOTE: dp={mesh.shape['dp']} but --image-batch-size="
                       f"{args.image_batch_size}; dp sharding only pays off "
                       "when the image batch divides by dp")
-        if args.sam_checkpoint:
-            from ..nn import sam as samlib
-            from ..runtime.convert import _load_state_dict
-
-            sam_config = samlib.sam_vit_base()
-            segmenter = samlib.FlaxSamSegmenter(
-                samlib.convert_sam(_load_state_dict(args.sam_checkpoint),
-                                   sam_config), sam_config)
+        sam_checkpoint = args.sam_checkpoint or discover_sam_checkpoint()
+        if sam_checkpoint:
+            print(f"SAM segmenter: {sam_checkpoint}"
+                  + ("" if args.sam_checkpoint else " (auto-discovered)"))
+            segmenter = load_segmenter(sam_checkpoint)
+        else:
+            warn_if_coarse_on_real_weights(bundle, segmenter, args.run_model)
 
     sdxl_refiner = None
     if args.sdxl and not args.dry_run:
@@ -392,6 +433,16 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 "bg_seed": base_seed + offset,
                 "fg_seed_start": ind + offset + LARGE_CONSTANT,
             })
+
+    # Shape scheduling: group jobs by box count so each batch is near-uniform
+    # in (sum of boxes, max boxes/image). Every batch shape compiles its own
+    # sampler scan on TPU; the benchmark's 1-5 boxes/prompt would otherwise
+    # make 8-image groups take ~25 distinct flat-batch sizes. Sorting is
+    # free: seeds are per-job and outputs are keyed by prompt index, so
+    # processing order is semantics-neutral (stable sort keeps index order
+    # within a box-count class). Disable with --no-shape-schedule.
+    if not args.no_shape_schedule:
+        jobs.sort(key=lambda j: len(j["spec"]["gen_boxes"]))
 
     print(f"[batched] {len(jobs)} jobs, batch size {args.image_batch_size}")
     for start in range(0, len(jobs), args.image_batch_size):

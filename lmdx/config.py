@@ -101,6 +101,11 @@ class SDConfig:
     # the UNet context is the feature-concat of both, pooled comes from
     # clip2's projected embedding). None for single-tower families.
     clip2: CLIPTextConfig | None = None
+    # Checkpoint subdirectory holding the primary tower's weights. The SDXL
+    # refiner ships its single (bigG) tower as text_encoder_2/ with no
+    # text_encoder/ at all (reference generation/sdxl_refinement.py loads
+    # stabilityai/stable-diffusion-xl-refiner-1.0).
+    text_encoder_dir: str = "text_encoder"
     vae: VAEConfig = field(default_factory=VAEConfig)
     height: int = 512
     width: int = 512
@@ -199,6 +204,7 @@ def sdxl_refiner() -> SDConfig:
             num_heads=20, hidden_act="gelu", penultimate_hidden=True,
             use_text_projection=True,
         ),
+        text_encoder_dir="text_encoder_2",
         height=1024,
         width=1024,
     )

@@ -13,6 +13,7 @@ sharding annotations of its own — inputs placed here carry the layout.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -74,14 +75,30 @@ def deactivate_mesh():
 
 def shard_leading_axis(x, mesh: Mesh | None = None, axis: int = 0):
     """Place `x` with its `axis` dim sharded over dp (replicated if the dim
-    doesn't divide dp — correct either way, GSPMD resolves the mismatch)."""
+    doesn't divide dp — correct either way, GSPMD resolves the mismatch).
+
+    The replication fallback is loud: it means every dp replica computes the
+    full batch, a silent 1/dp throughput loss if hit on the hot path (e.g.
+    --image-batch-size not a multiple of dp). Warned once per (shape, dp)."""
     mesh = mesh or _ACTIVE_MESH
     if mesh is None:
         return x
     x = jnp.asarray(x)
     dp = mesh.shape["dp"]
     if x.ndim <= axis or x.shape[axis] % dp != 0:
+        if dp > 1:
+            sig = (x.shape[axis] if x.ndim > axis else None, axis, dp)
+            if sig not in _WARNED_REPLICATED:
+                _WARNED_REPLICATED.add(sig)
+                warnings.warn(
+                    f"shard_leading_axis: axis {axis} of shape {x.shape} does "
+                    f"not divide dp={dp}; replicating instead of sharding "
+                    f"(1/{dp} of the mesh's dp throughput). Pick a batch size "
+                    f"divisible by dp.", stacklevel=2)
         spec = P()
     else:
         spec = P(*([None] * axis), "dp", *([None] * (x.ndim - axis - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+_WARNED_REPLICATED: set = set()

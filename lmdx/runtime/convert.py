@@ -316,6 +316,19 @@ _COMPONENT_MANIFESTS = {
     "gligen/diffusers-generation-text-box": {
         "unet": "unet_gligen", "text_encoder": "text_encoder_clip_vit_l",
         "vae": "vae_sd"},
+    # --use-sdv2 base model (reference generate.py:113).
+    "stabilityai/stable-diffusion-2-1-base": {
+        "unet": "unet_sd21", "text_encoder": "text_encoder_clip_vit_h",
+        "vae": "vae_sd"},
+    # SDXL base: dual text towers (ViT-L + bigG-with-projection).
+    "stabilityai/stable-diffusion-xl-base-1.0": {
+        "unet": "unet_sdxl_base", "text_encoder": "text_encoder_clip_vit_l",
+        "text_encoder_2": "text_encoder_clip_bigg", "vae": "vae_sd"},
+    # SDXL refiner (reference generation/sdxl_refinement.py:10-20): single
+    # bigG tower shipped as text_encoder_2/, no text_encoder/ at all.
+    "stabilityai/stable-diffusion-xl-refiner-1.0": {
+        "unet": "unet_sdxl_refiner",
+        "text_encoder_2": "text_encoder_clip_bigg", "vae": "vae_sd"},
 }
 
 # Keys that may legitimately differ from the manifest: buffer tensors some
@@ -373,7 +386,8 @@ def load_checkpoint(config: SDConfig, checkpoint_dir: str) -> dict:
     params = {
         "unet": convert_unet(unet_sd, config),
         "text": convert_text_encoder(
-            _load_state_dict(os.path.join(checkpoint_dir, "text_encoder")),
+            _load_state_dict(
+                os.path.join(checkpoint_dir, config.text_encoder_dir)),
             config),
         "vae": convert_vae(
             _load_state_dict(os.path.join(checkpoint_dir, "vae")), config),

@@ -41,6 +41,10 @@ class ModelBundle:
     # SDXL-base second tower (bigG): context = concat of both towers'
     # penultimate states; pooled comes from this tower's projection.
     text_encoder_2: CLIPTextEncoder | None = None
+    # The converted checkpoint the params came from; None = deterministic
+    # random init (weightless mode). Lets drivers distinguish a real-weights
+    # run (e.g. to require a real segmenter) from a perf/test run.
+    checkpoint_dir: str | None = None
 
     @property
     def latent_shape(self):
@@ -238,6 +242,7 @@ def load_bundle(
         position_net=position_net,
         params=params,
         text_encoder_2=build_text_encoder_2(config),
+        checkpoint_dir=checkpoint_dir,
     )
 
 

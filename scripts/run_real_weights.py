@@ -11,6 +11,9 @@ Given converted/HF checkpoint directories, this script:
 Usage:
     export LMDX_CHECKPOINT_DIR=/path/to/checkpoints   # contains
     #   gligen--diffusers-generation-text-box/{unet,vae,text_encoder,tokenizer}
+    #   facebook--sam-vit-base/   (auto-discovered; SAM is the default
+    #                              segmenter whenever this dir exists,
+    #                              matching reference generate.py:126)
     python scripts/run_real_weights.py \
         [--run-model lmd_plus] [--prompt-type demo] \
         [--sam-checkpoint /path/to/sam-vit-base] \
@@ -20,6 +23,15 @@ Usage:
 For the full benchmark accuracy number vs the published LMD+ 86.3%
 (reference README.md:202): --prompt-type lmd --model gpt-4 --num-prompts 400
 and an --owlvit-checkpoint.
+
+SD2.1 (reference generate.py:113, --sdv2 run_models) — needs subdir
+stabilityai--stable-diffusion-2-1-base/{unet,vae,text_encoder,tokenizer}:
+    python scripts/run_real_weights.py --run-model lmd --use-sdv2
+
+SDXL refinement (reference generation/sdxl_refinement.py:10-20) — needs
+subdir stabilityai--stable-diffusion-xl-refiner-1.0/{unet,vae,text_encoder_2,
+tokenizer_2}; validates the refiner manifest, then refines each image:
+    python scripts/run_real_weights.py --run-model lmd_plus --sdxl
 """
 
 import argparse
@@ -41,6 +53,12 @@ def main(argv=None) -> int:
     parser.add_argument("--save-suffix", default="realweights")
     parser.add_argument("--sam-checkpoint", default=None)
     parser.add_argument("--owlvit-checkpoint", default=None)
+    parser.add_argument("--use-sdv2", action="store_true",
+                        help="SD2.1-base model keys (reference "
+                             "generate.py:113; lmd/sd runs only)")
+    parser.add_argument("--sdxl", action="store_true",
+                        help="also validate + wire the SDXL refiner "
+                             "(reference generation/sdxl_refinement.py)")
     parser.add_argument("--skip-validate", action="store_true")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
@@ -50,30 +68,35 @@ def main(argv=None) -> int:
 
     # -- 1. validate ---------------------------------------------------------
     model_key = gen_cli.select_model_key(
-        argparse.Namespace(sd_model=None, use_sdv2=False,
+        argparse.Namespace(sd_model=None, use_sdv2=args.use_sdv2,
                            run_model=args.run_model))
+    model_keys = [model_key]
+    if args.sdxl:
+        model_keys.append("stabilityai/stable-diffusion-xl-refiner-1.0")
     root = os.environ.get("LMDX_CHECKPOINT_DIR", "")
-    ckpt = os.path.join(root, model_key.replace("/", "--")) if root else ""
-    if not (ckpt and os.path.isdir(ckpt)):
-        print(f"ERROR: no checkpoint dir for {model_key} "
-              f"(LMDX_CHECKPOINT_DIR={root!r}; expected subdir "
-              f"{model_key.replace('/', '--')!r})")
-        return 2
-    if not args.skip_validate:
-        report = convert.validate_checkpoint(model_key, ckpt)
+    for key in model_keys:
+        ckpt = os.path.join(root, key.replace("/", "--")) if root else ""
+        if not (ckpt and os.path.isdir(ckpt)):
+            print(f"ERROR: no checkpoint dir for {key} "
+                  f"(LMDX_CHECKPOINT_DIR={root!r}; expected subdir "
+                  f"{key.replace('/', '--')!r})")
+            return 2
+        if args.skip_validate:
+            continue
+        report = convert.validate_checkpoint(key, ckpt)
         clean = True
         for component, diff in report.items():
             issues = {k: v for k, v in diff.items() if v}
             if issues:
                 clean = False
-                print(f"MANIFEST MISMATCH [{component}]:")
+                print(f"MANIFEST MISMATCH [{key} :: {component}]:")
                 for kind, keys in issues.items():
                     print(f"  {kind} ({len(keys)}): {keys[:6]}")
         if not clean:
             print("Checkpoint does not match the manifest contract; aborting "
                   "(pass --skip-validate to force).")
             return 3
-        print(f"manifest validation OK: {model_key} @ {ckpt}")
+        print(f"manifest validation OK: {key} @ {ckpt}")
 
     # -- 2. generate ---------------------------------------------------------
     cache_path = args.cache_path or (
@@ -91,6 +114,10 @@ def main(argv=None) -> int:
         gen_argv += ["--num_prompts", str(args.num_prompts)]
     if args.sam_checkpoint:
         gen_argv += ["--sam-checkpoint", args.sam_checkpoint]
+    if args.use_sdv2:
+        gen_argv += ["--use-sdv2"]
+    if args.sdxl:
+        gen_argv += ["--sdxl"]
     if args.cpu:
         gen_argv += ["--cpu"]
     print(f"generate: {' '.join(gen_argv)}")

@@ -109,6 +109,43 @@ def test_generate_flag_parity():
         parser.parse_args([]))
 
 
+def test_sam_checkpoint_autodiscovery(tmp_path, monkeypatch):
+    """facebook--sam-vit-base under LMDX_CHECKPOINT_DIR is found without a
+    flag (reference generate.py:126 loads SAM unconditionally)."""
+    monkeypatch.delenv("LMDX_CHECKPOINT_DIR", raising=False)
+    assert gen_cli.discover_sam_checkpoint() is None
+    monkeypatch.setenv("LMDX_CHECKPOINT_DIR", str(tmp_path))
+    assert gen_cli.discover_sam_checkpoint() is None
+    sam_dir = tmp_path / "facebook--sam-vit-base"
+    sam_dir.mkdir()
+    assert gen_cli.discover_sam_checkpoint() == str(sam_dir)
+
+
+def test_coarse_segmenter_warning_on_real_weights():
+    """A real-weights run that falls back to the CoarseSegmenter must warn
+    loudly (accuracy trap: every mask degrades to the coarse box)."""
+    import warnings
+    from types import SimpleNamespace
+
+    real = SimpleNamespace(checkpoint_dir="/ckpt/gligen--x")
+    weightless = SimpleNamespace(checkpoint_dir=None)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert gen_cli.warn_if_coarse_on_real_weights(real, None, "lmd_plus")
+        assert len(caught) == 1
+        assert "coarse" in str(caught[0].message)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        # No warning: weightless bundle, real segmenter, or SAM-less method.
+        assert not gen_cli.warn_if_coarse_on_real_weights(
+            weightless, None, "lmd_plus")
+        assert not gen_cli.warn_if_coarse_on_real_weights(
+            real, object(), "lmd_plus")
+        assert not gen_cli.warn_if_coarse_on_real_weights(real, None, "sd")
+        assert not caught
+
+
 def test_webui_page_and_generate():
     """The WebUI App renders the form page and serves a full generation
     (layout -> stage-2 -> HTML with embedded images) without HTTP."""

@@ -241,6 +241,32 @@ def test_shard_leading_axis_no_mesh_is_identity():
     assert serve_lib.shard_leading_axis(x) is x
 
 
+def test_shard_leading_axis_warns_on_silent_replication():
+    """A batch axis that doesn't divide dp replicates — correct but a 1/dp
+    throughput loss, so it must warn (once per signature)."""
+    import warnings
+
+    from lmdx.dist import serve as serve_lib
+
+    mesh = meshlib.make_mesh(dp=4, tp=2)
+    serve_lib._WARNED_REPLICATED.clear()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = serve_lib.shard_leading_axis(np.ones((3, 2)), mesh=mesh)
+        assert [w for w in caught if "replicating" in str(w.message)]
+        # Deduped on repeat.
+        n = len(caught)
+        serve_lib.shard_leading_axis(np.ones((3, 2)), mesh=mesh)
+        assert len(caught) == n
+    assert np.asarray(out).shape == (3, 2)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = serve_lib.shard_leading_axis(np.ones((8, 2)), mesh=mesh)
+        assert not caught  # divides dp=4: sharded, no warning
+    assert np.asarray(out).shape == (8, 2)
+
+
 def test_param_spec_rules_sdxl_topology():
     """Megatron-style tp specs apply to the SDXL-class UNet (per-level
     transformer depth, linear proj in/out, text_time add_embedding) and to

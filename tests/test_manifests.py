@@ -98,10 +98,16 @@ def _unet_eval_shapes(config):
     d = config.unet.cross_attention_dim
     objs = (jnp.zeros((1, config.unet.gligen_max_objs, d))
             if config.unet.use_gligen else None)
+    added = {}
+    if config.unet.addition_embed_type == "text_time":
+        num_ids = (config.unet.projection_class_embeddings_input_dim
+                   - config.pooled_dim) // config.unet.addition_time_embed_dim
+        added = {"added_text_embeds": jnp.zeros((1, config.pooled_dim)),
+                 "added_time_ids": jnp.zeros((1, num_ids))}
     shapes = jax.eval_shape(
         unet.init, jax.random.key(0), jnp.zeros((1, h, w, 4)),
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, toklib.MAX_LENGTH, d)),
-        objs=objs)["params"]
+        objs=objs, **added)["params"]
     pn_shapes = None
     if position_net is not None:
         pn_shapes = jax.eval_shape(
@@ -116,6 +122,11 @@ def _unet_eval_shapes(config):
 @pytest.mark.parametrize("model_key,manifest_name", [
     ("runwayml/stable-diffusion-v1-5", "unet_sd15"),
     ("gligen/diffusers-generation-text-box", "unet_gligen"),
+    # --use-sdv2 base model (reference generate.py:113).
+    ("stabilityai/stable-diffusion-2-1-base", "unet_sd21"),
+    # SDXL base + refiner (reference generation/sdxl_refinement.py:10-20).
+    ("stabilityai/stable-diffusion-xl-base-1.0", "unet_sdxl_base"),
+    ("stabilityai/stable-diffusion-xl-refiner-1.0", "unet_sdxl_refiner"),
 ])
 def test_unet_manifest(model_key, manifest_name):
     config = cfglib.SD_CONFIGS[model_key]()
@@ -140,6 +151,21 @@ def test_text_encoder_manifest():
         jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32))["params"]
     assert_tree_matches(converted, expected, "text_encoder")
     assert_fully_consumed(sd, component="text_encoder_clip_vit_l")
+
+
+def test_text_encoder_vit_h_manifest():
+    """SD2.1's OpenCLIP ViT-H text encoder (as transformers exports it: 23
+    layers, gelu) converts fully from the manifest (reference generate.py:113
+    selects stabilityai/stable-diffusion-2-1-base for --sdv2)."""
+    config = cfglib.SD_CONFIGS["stabilityai/stable-diffusion-2-1-base"]()
+    sd = TrackingDict(load_manifest("text_encoder_clip_vit_h"))
+    converted = convert.convert_text_encoder(sd, config)
+    _, text_encoder, _, _ = build_modules(config)
+    expected = jax.eval_shape(
+        text_encoder.init, jax.random.key(0),
+        jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32))["params"]
+    assert_tree_matches(converted, expected, "text_encoder_vit_h")
+    assert_fully_consumed(sd, component="text_encoder_clip_vit_h")
 
 
 def _vae_era_to_modern(manifest):
