@@ -55,6 +55,11 @@ USE_SAM = bool(int(os.environ.get("LMDX_BENCH_SAM", "0")))
 # defaults) instead of LMD+ (GLIGEN adapters, per-box guidance off).
 METHOD = os.environ.get("LMDX_BENCH_METHOD", "lmd_plus")
 
+# LMDX_BENCH_FAST=1 turns on the reference's truncated fast schedule for the
+# per-box passes (utils/schedule.py:4-8; the p50-latency lever — the per-box
+# tail past the frozen steps only feeds mask extraction).
+USE_FAST = bool(int(os.environ.get("LMDX_BENCH_FAST", "0")))
+
 
 def _specs():
     """BATCH distinct 2-box layouts (different objects/placements/seeds)."""
@@ -110,7 +115,8 @@ def main():
     def once():
         return run_batch(
             specs, bundle, bg_seeds=list(range(1, BATCH + 1)),
-            num_inference_steps=50, segmenter=segmenter)
+            num_inference_steps=50, segmenter=segmenter,
+            use_fast_schedule=USE_FAST)
 
     once()  # compile warmup (segments for per-box and overall passes)
 
@@ -126,10 +132,12 @@ def main():
     metric = f"{METHOD}_sd512_50step_images_per_sec_per_chip"
     if USE_SAM:
         metric += "_with_sam"
+    if USE_FAST:
+        metric += "_fast"
     extra = {}
     if BATCH == 1:
         metric = f"{METHOD}_sd512_50step_p50_latency_s" + (
-            "_with_sam" if USE_SAM else "")
+            "_with_sam" if USE_SAM else "") + ("_fast" if USE_FAST else "")
         value = sorted(times)[len(times) // 2]
         extra = {"unit": "s/image",
                  "vs_baseline": round((1.0 / value) /

@@ -200,6 +200,9 @@ def make_save_dir(args) -> str:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..runtime import jit_cache
+
+    jit_cache.enable()  # warm-start the multi-minute sampler-scan compiles
     if args.scheduler:
         alias = {"DPMSolverMultistep": "dpmpp_2m", "DDIM": "ddim",
                  "DDIMScheduler": "ddim"}
@@ -447,6 +450,8 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
     print(f"[batched] {len(jobs)} jobs, batch size {args.image_batch_size}")
     for start in range(0, len(jobs), args.image_batch_size):
         group = jobs[start : start + args.image_batch_size]
+        box_counts = [len(j["spec"]["gen_boxes"]) for j in group]
+        t_batch = time.perf_counter()
         try:
             results = run_batch_fn(
                 [j["spec"] for j in group], bundle,
@@ -475,7 +480,12 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                     refinement_step_ratio=args.sdxl_step_ratio)
             Image.fromarray(image).save(
                 f"{job['img_dir']}/img_{job['repeat']}.png")
-        print(f"[batched] {min(start + len(group), len(jobs))}/{len(jobs)} done")
+        # Per-batch wall + shape: lets a driver run separate compile wall
+        # (first batch of a shape class) from steady-state throughput.
+        dt = time.perf_counter() - t_batch
+        print(f"[batched] {min(start + len(group), len(jobs))}/{len(jobs)} "
+              f"done  boxes={box_counts} {dt:.1f}s "
+              f"({len(group) / dt:.3f} img/s)", flush=True)
     return 0
 
 

@@ -150,6 +150,9 @@ def main(argv=None) -> int:
     parser.add_argument("--steps", default=50, type=int)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
+    from ..runtime import jit_cache
+
+    jit_cache.enable()  # warm-start the multi-minute sampler-scan compiles
     if args.cpu:
         import jax
 

@@ -23,13 +23,22 @@ from lmdx.nn.unet import apply_unet  # noqa: E402
 from lmdx.runtime import models as runtime_models  # noqa: E402
 
 
+def _fetch_sync(out):
+    """jax.block_until_ready on the axon tunnel resolves futures without
+    waiting for the chip; only a device->host fetch truly syncs."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def bench(fn, *args, n=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_sync(out)
     return (time.perf_counter() - t0) / n
 
 

@@ -30,13 +30,24 @@ from lmdx.sampling import masking  # noqa: E402
 TIMES: dict[str, list[float]] = {}
 
 
+def _fetch_sync(out):
+    """jax.block_until_ready on the axon tunnel resolves futures without
+    waiting for the chip; only a device->host fetch truly syncs."""
+    import numpy as np
+
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "ravel") and getattr(x, "size", 0)]
+    if leaves:
+        np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+
+
 def timed(name, fn, block=True):
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
         if block:
-            jax.block_until_ready(out)
+            _fetch_sync(out)
         TIMES.setdefault(name, []).append(time.perf_counter() - t0)
         return out
 
