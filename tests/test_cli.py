@@ -146,6 +146,41 @@ def test_coarse_segmenter_warning_on_real_weights():
         assert not caught
 
 
+def test_run_real_weights_validates_all_model_keys(tmp_path, monkeypatch):
+    """--use-sdv2 and --sdxl route through manifest validation for the
+    checkpoints the reference actually selects (generate.py:113,
+    generation/sdxl_refinement.py:10-20); a missing subdir is a hard error
+    before any generation."""
+    import scripts.run_real_weights as rrw
+    from lmdx.runtime import convert
+
+    monkeypatch.setenv("LMDX_CHECKPOINT_DIR", str(tmp_path))
+
+    # Missing checkpoint dir: exit 2 before touching the model.
+    assert rrw.main(["--run-model", "lmd", "--use-sdv2"]) == 2
+
+    validated = []
+
+    def fake_validate(key, ckpt):
+        validated.append(key)
+        return {"unet": {"missing": [], "extra": [], "shape": []}}
+
+    monkeypatch.setattr(convert, "validate_checkpoint", fake_validate)
+    monkeypatch.setattr(gen_cli, "main", lambda argv: 0)
+    for key in ("stabilityai--stable-diffusion-2-1-base",
+                "gligen--diffusers-generation-text-box",
+                "stabilityai--stable-diffusion-xl-refiner-1.0"):
+        (tmp_path / key).mkdir()
+
+    assert rrw.main(["--run-model", "lmd", "--use-sdv2"]) == 0
+    assert validated == ["stabilityai/stable-diffusion-2-1-base"]
+
+    validated.clear()
+    assert rrw.main(["--run-model", "lmd_plus", "--sdxl"]) == 0
+    assert validated == ["gligen/diffusers-generation-text-box",
+                         "stabilityai/stable-diffusion-xl-refiner-1.0"]
+
+
 def test_webui_page_and_generate():
     """The WebUI App renders the form page and serves a full generation
     (layout -> stage-2 -> HTML with embedded images) without HTTP."""
