@@ -208,6 +208,26 @@ def test_lmd_plus_batched_matches_shapes_with_empty_layout(bundle):
     _check_image(results[1], bundle)
 
 
+def test_lmd_plus_batched_all_empty_layouts(bundle):
+    """The benchmark's negation task is 100 zero-box prompts; with shape
+    scheduling (cli/generate.py) they group into ALL-empty batches, which
+    must skip the per-box pass (n_total == 0) and still produce images."""
+    from lmdx.methods.batch import run_lmd_plus_batch
+
+    empty = {"prompt": "A sunset", "gen_boxes": [], "bg_prompt": "A sunset",
+             "extra_neg_prompt": ""}
+    overrides = {k: v for k, v in GROUNDED_OVERRIDES.items()
+                 if k != "max_index_step"}
+    results = run_lmd_plus_batch([empty, dict(empty)], bundle,
+                                 bg_seeds=[3, 4], **overrides)
+    assert len(results) == 2
+    for r in results:
+        _check_image(r, bundle)
+        assert r.so_img_list == []
+    # Distinct bg seeds must still produce distinct images.
+    assert (results[0].image != results[1].image).any()
+
+
 def test_batched_matches_sequential_lmd_plus(bundle):
     """The multi-image pipeline must reproduce the single-image pipeline
     bit-for-bit-ish (same seeds, same hyperparameters)."""
