@@ -284,3 +284,42 @@ def test_owl_vit_eval_cli_scores_run_dir(tmp_path, capsys, monkeypatch):
     # Exactly one image existed -> one prompt scored; random weights mean
     # the success value is arbitrary but the counting must be right.
     assert "1" in out and "overall" in out.lower()
+
+
+def test_generate_batched_driver_resume(tmp_path, capsys):
+    """The batched driver (--image-batch-size > 1) builds jobs only for
+    prompts whose images are missing — the reference's skip-if-exists resume
+    (generate.py:275-279) applied to throughput mode — writes img_{repeat}.png
+    per job, and a rerun after completion schedules zero work. Mirrors the
+    mid-run-kill resume exercised on TPU for BASELINE.md's production-workload
+    table."""
+    if not os.path.exists(DEMO_CACHE):
+        pytest.skip("reference demo cache not present")
+
+    run_dir = tmp_path / "templatev0.1_lmd_plus_demo" / "run0"
+    done = run_dir / "1"
+    done.mkdir(parents=True)
+    (done / "img_0.png").write_bytes(b"sentinel")
+
+    argv = [
+        "--prompt-type", "demo", "--model", "gpt-4",
+        "--template_version", "v0.1", "--run-model", "lmd_plus",
+        "--cache-path", DEMO_CACHE, "--save-dir", str(tmp_path),
+        "--force_run_ind", "0", "--sd-model", "tiny-test",
+        "--image-batch-size", "2", "--num_inference_steps", "4",
+        "--max_index_step", "0", "--overall_max_index_step", "0",
+    ]
+    assert gen_cli.main(argv) == 0
+    out = capsys.readouterr().out
+    # Prompt 1 was already done mid-"run": only the other two become jobs.
+    assert "[batched] 2 jobs, batch size 2" in out
+    assert (run_dir / "0" / "img_0.png").exists()
+    assert (run_dir / "2" / "img_0.png").exists()
+    assert (done / "img_0.png").read_bytes() == b"sentinel"  # untouched
+
+    assert gen_cli.main(argv) == 0
+    assert "[batched] 0 jobs" in capsys.readouterr().out
+
+
+test_generate_batched_driver_resume = pytest.mark.slow(
+    test_generate_batched_driver_resume)
