@@ -16,6 +16,7 @@ Example (offline, cached layouts):
 from __future__ import annotations
 
 import argparse
+import itertools
 import os
 import time
 import traceback
@@ -72,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="batched mode: keep prompt order instead of "
                              "grouping jobs by box count (more compiled "
                              "shape variants)")
+    parser.add_argument("--max-compiled-variants", default=0, type=int,
+                        help="batched mode: cap the number of distinct "
+                             "compiled batch-shape classes by padding "
+                             "smaller classes up to larger ones (~10 min "
+                             "XLA compile saved per merged class on a cold "
+                             "cache, at the cost of linear pad compute). "
+                             "0 = one class per distinct shape (default); "
+                             "empty-layout batches are always their own "
+                             "class")
     parser.add_argument("--mesh", default=None,
                         help="shard the batched pipeline over a device mesh: "
                              "'auto' (dp=all devices), 'dp=N', or 'dp=N,tp=M'."
@@ -381,6 +391,74 @@ def main(argv=None) -> int:
     return 0
 
 
+def _pow2_bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _flat_bucket(n: int) -> int:
+    """Default flat per-box pad (mirrors methods/batch.py:_box_bucket)."""
+    if n <= 0:
+        return 0
+    if n <= 8:
+        return _pow2_bucket(n)
+    return ((n + 7) // 8) * 8
+
+
+def plan_shape_classes(groups: list[list[int]], max_variants: int):
+    """Merge batch shape classes down to a compile budget.
+
+    groups: per batch, the list of box counts of its images. Each distinct
+    (flat per-box pad, per-image object bucket) pair compiles its own
+    sampler scans (~10 min cold on v5e). With max_variants > 0, choose that
+    many canonical classes (always including one that dominates everything)
+    and pad every non-empty batch up to the smallest dominating canonical
+    class — minimizing total pad waste, lexicographically (extra per-box
+    diffusion rows, then extra guidance-sort object slots). Empty-layout
+    batches have no per-box scan and are left alone.
+
+    Returns per group either None (use defaults) or a
+    {"pad_boxes_to", "pad_objs_to"} dict.
+    """
+    keys = []
+    for g in groups:
+        s, mx = sum(g), max(g, default=0)
+        keys.append((s, mx) if s else None)
+    classes = sorted({(_flat_bucket(s), _pow2_bucket(mx))
+                      for s, mx in (k for k in keys if k)})
+    if max_variants <= 0 or len(classes) <= max_variants:
+        return [None] * len(groups)
+
+    top = (max(c[0] for c in classes), max(c[1] for c in classes))
+    candidates = sorted(set(classes) | {top})
+
+    def assign(chosen):
+        plan, flat_waste, obj_waste = [], 0, 0
+        for key in keys:
+            if key is None:
+                plan.append(None)
+                continue
+            s, mx = key
+            best = min((c for c in chosen
+                        if c[0] >= s and c[1] >= _pow2_bucket(mx)),
+                       key=lambda c: (c[0], c[1]))
+            plan.append({"pad_boxes_to": best[0], "pad_objs_to": best[1]})
+            flat_waste += best[0] - s
+            obj_waste += best[1] - _pow2_bucket(mx)
+        return plan, (flat_waste, obj_waste)
+
+    best_plan, best_cost = None, None
+    for chosen in itertools.combinations(candidates, max_variants):
+        if top not in chosen:
+            continue
+        plan, cost = assign(chosen)
+        if best_cost is None or cost < best_cost:
+            best_plan, best_cost = plan, cost
+    return best_plan
+
+
 def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 segmenter, sdxl_refiner) -> int:
     """Throughput mode: group pending (prompt, repeat) jobs into batches of
@@ -447,9 +525,20 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
     if not args.no_shape_schedule:
         jobs.sort(key=lambda j: len(j["spec"]["gen_boxes"]))
 
+    groups = [jobs[s : s + args.image_batch_size]
+              for s in range(0, len(jobs), args.image_batch_size)]
+    pad_plan = plan_shape_classes(
+        [[len(j["spec"]["gen_boxes"]) for j in g] for g in groups],
+        args.max_compiled_variants)
+    if any(pad_plan):
+        n_cls = len({(p["pad_boxes_to"], p["pad_objs_to"])
+                     for p in pad_plan if p})
+        print(f"[batched] shape classes merged to {n_cls} "
+              f"(--max-compiled-variants {args.max_compiled_variants})")
+
     print(f"[batched] {len(jobs)} jobs, batch size {args.image_batch_size}")
-    for start in range(0, len(jobs), args.image_batch_size):
-        group = jobs[start : start + args.image_batch_size]
+    for gi, (group, pads) in enumerate(zip(groups, pad_plan)):
+        start = gi * args.image_batch_size
         box_counts = [len(j["spec"]["gen_boxes"]) for j in group]
         t_batch = time.perf_counter()
         try:
@@ -457,7 +546,7 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 [j["spec"] for j in group], bundle,
                 bg_seeds=[j["bg_seed"] for j in group],
                 fg_seed_starts=[j["fg_seed_start"] for j in group],
-                segmenter=segmenter, **run_kwargs)
+                segmenter=segmenter, **(pads or {}), **run_kwargs)
         except KeyboardInterrupt:
             raise
         except Exception as e:

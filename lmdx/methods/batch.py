@@ -73,7 +73,16 @@ def run_grounded_batch(
     fg_seed_starts: list[int] | None = None,
     segmenter: masking.Segmenter | None = None,
     return_so_images: bool = False,
+    pad_boxes_to: int | None = None,
+    pad_objs_to: int | None = None,
 ) -> list[base.GenerationResult]:
+    """pad_boxes_to / pad_objs_to: compile-budget floors. A serving driver
+    that knows its whole workload can merge batch shape classes — pad the
+    flat per-box batch to `pad_boxes_to` rows and floor the per-image
+    object-count buckets (o_pad/bx_pad) at `pad_objs_to` — trading linear
+    pad compute for an XLA compile per avoided shape class (~10 min each on
+    v5e, measured in BASELINE.md's production-workload table). Outputs are
+    identical: pad rows are sliced away before anything user-visible."""
     cfg = bundle.config
     H, W = cfg.latent_height, cfg.latent_width
     latent_hw = (H, W)
@@ -150,6 +159,9 @@ def run_grounded_batch(
     # axis: no cross-sample reduction anywhere in the UNet/guidance path) and
     # every output is sliced back to the real rows below.
     n_total = _box_bucket(n_real)
+    if pad_boxes_to is not None and n_real:
+        assert pad_boxes_to >= n_real, (pad_boxes_to, n_real)
+        n_total = pad_boxes_to
     if n_total > n_real:
         flat = flat + [flat[-1]] * (n_total - n_real)
     save_keys = tuple(dict.fromkeys((p.obj_attn_key, *p.guidance_attn_keys))) \
@@ -389,6 +401,12 @@ def run_grounded_batch(
         (len(pos) for g in guid_raw for pos in g["positions"]), default=1))
     bx_pad = guidance_lib.bucket(max(
         (len(g["ref"]) for g in guid_raw), default=1))
+    if pad_objs_to is not None:
+        # Compile-budget floor: unify the guided-overall-scan shape across
+        # batches whose real object counts differ (its compile dominates a
+        # cold run; the cost is extra topk sort volume on the padded axes).
+        o_pad = max(o_pad, pad_objs_to)
+        bx_pad = max(bx_pad, pad_objs_to)
     for g in guid_raw:
         data_list.append(guidance_lib.make_guidance_data(
             g["bboxes"], g["positions"], overall_spec, latent_hw,
@@ -660,11 +678,15 @@ def run_lmd_batch(specs, bundle, segmenter=None, **overrides):
     bg_seeds = overrides.pop("bg_seeds", None)
     fg_seed_starts = overrides.pop("fg_seed_starts", None)
     return_so_images = overrides.pop("return_so_images", False)
+    pad_boxes_to = overrides.pop("pad_boxes_to", None)
+    pad_objs_to = overrides.pop("pad_objs_to", None)
     params = GroundedParams(**{**defaults, **overrides})
     return run_grounded_batch(specs, bundle, params, bg_seeds=bg_seeds,
                               fg_seed_starts=fg_seed_starts,
                               segmenter=segmenter,
-                              return_so_images=return_so_images)
+                              return_so_images=return_so_images,
+                              pad_boxes_to=pad_boxes_to,
+                              pad_objs_to=pad_objs_to)
 
 
 def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
@@ -687,8 +709,12 @@ def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
     bg_seeds = overrides.pop("bg_seeds", None)
     fg_seed_starts = overrides.pop("fg_seed_starts", None)
     return_so_images = overrides.pop("return_so_images", False)
+    pad_boxes_to = overrides.pop("pad_boxes_to", None)
+    pad_objs_to = overrides.pop("pad_objs_to", None)
     params = GroundedParams(**{**defaults, **overrides})
     return run_grounded_batch(specs, bundle, params, bg_seeds=bg_seeds,
                               fg_seed_starts=fg_seed_starts,
                               segmenter=segmenter,
-                              return_so_images=return_so_images)
+                              return_so_images=return_so_images,
+                              pad_boxes_to=pad_boxes_to,
+                              pad_objs_to=pad_objs_to)

@@ -323,3 +323,41 @@ def test_generate_batched_driver_resume(tmp_path, capsys):
 
 test_generate_batched_driver_resume = pytest.mark.slow(
     test_generate_batched_driver_resume)
+
+
+def test_plan_shape_classes():
+    """--max-compiled-variants merges batch shape classes up to a compile
+    budget: chosen classes dominate every group, empty-layout groups stay
+    untouched, and a large-enough budget is a no-op."""
+    plan = gen_cli.plan_shape_classes
+    # The real gpt-4 benchmark distribution grouped by 8 after sorting:
+    # 12x empty, mixed [0,0,0,0,1,1,1,1], 2x all-1s, 27x all-2s, 3x all-3s,
+    # 2x (4-box sum 32), 2x all-5s and one tail [5,5,5,5].
+    groups = ([[0] * 8] * 12 + [[0, 0, 0, 0, 1, 1, 1, 1]] + [[1] * 8] * 2
+              + [[2] * 8] * 27 + [[3] * 8] * 3 + [[4] * 8] * 2
+              + [[5] * 8] * 2 + [[5, 5, 5, 5]])
+
+    assert plan(groups, 0) == [None] * len(groups)   # disabled
+    assert plan(groups, 7) == [None] * len(groups)   # budget >= classes
+
+    merged = plan(groups, 3)
+    assert [p for p in merged[:12]] == [None] * 12   # empties untouched
+    chosen = {(p["pad_boxes_to"], p["pad_objs_to"])
+              for p in merged if p is not None}
+    assert len(chosen) <= 3
+    # Every non-empty group is dominated by its assigned class.
+    for g, p in zip(groups, merged):
+        if sum(g) == 0:
+            assert p is None
+        else:
+            assert p["pad_boxes_to"] >= sum(g)
+            assert p["pad_objs_to"] >= max(g)
+    # The dominant 2-box class (27 of 48 batches) must keep its exact
+    # shape — merging it upward would be the worst possible waste.
+    two_box = merged[15]
+    assert two_box == {"pad_boxes_to": 16, "pad_objs_to": 2}
+
+    # Single class: everything pads to the global max.
+    one = plan(groups, 1)
+    assert {(p["pad_boxes_to"], p["pad_objs_to"])
+            for p in one if p is not None} == {(40, 8)}

@@ -327,3 +327,29 @@ def test_sdxl_base_dual_encoder_e2e():
         bundle=b, target_size=b.config.height)
     assert refined.shape == (32, 32, 3)
     assert refined.dtype == np.uint8
+
+
+def test_batched_pad_floors_match_default(bundle):
+    """Compile-budget pads (pad_boxes_to / pad_objs_to — the driver's
+    --max-compiled-variants merging) must not change any output: pad rows
+    are sliced away and the floored guidance buckets are masked."""
+    from lmdx.methods.batch import run_lmd_plus_batch
+
+    spec2 = {"prompt": "A park with a green tree",
+             "gen_boxes": [("a green tree", (200, 100, 150, 250))],
+             "bg_prompt": "A park", "extra_neg_prompt": ""}
+    overrides = {k: v for k, v in GROUNDED_OVERRIDES.items()
+                 if k != "max_index_step"}
+
+    base = run_lmd_plus_batch([SPEC, spec2], bundle, bg_seeds=[51, 52],
+                              **overrides)
+    padded = run_lmd_plus_batch([SPEC, spec2], bundle, bg_seeds=[51, 52],
+                                pad_boxes_to=8, pad_objs_to=4, **overrides)
+    for s, b in zip(base, padded):
+        diff = np.abs(s.image.astype(np.int32) - b.image.astype(np.int32))
+        assert np.mean(diff) < 2.0, float(np.mean(diff))
+        assert np.array_equal(s.aux["frozen_mask"], b.aux["frozen_mask"])
+
+
+test_batched_pad_floors_match_default = pytest.mark.slow(
+    test_batched_pad_floors_match_default)
