@@ -50,21 +50,22 @@ def main(path: str) -> None:
           f"{sum(n for _, n, _ in batches)}/{total}   "
           f"shape classes (compiled variants): {len(classes)}")
     print(f"{'class (flat,maxbox)':>20} {'batches':>8} {'first(s)':>9} "
-          f"{'steady mean(s)':>15} {'steady img/s':>13}")
+          f"{'steady med(s)':>14} {'steady img/s':>13}")
     compile_wall = steady_wall = steady_imgs = 0.0
     for cls in sorted(classes):
         runs = classes[cls]
         first = runs[0][1]
         rest = runs[1:]
-        mean = sum(w for _, w in rest) / len(rest) if rest else float("nan")
-        ips = (sum(n for n, _ in rest) / sum(w for _, w in rest)
+        # Median: robust against host contention polluting a few batches.
+        med = (sorted(w for _, w in rest)[len(rest) // 2]
                if rest else float("nan"))
-        print(f"{str(cls):>20} {len(runs):>8} {first:>9.1f} {mean:>15.1f} "
+        ips = (rest[0][0] / med) if rest else float("nan")
+        print(f"{str(cls):>20} {len(runs):>8} {first:>9.1f} {med:>14.1f} "
               f"{ips:>13.3f}")
         # first batch of a class = compile + one steady execution
-        compile_wall += max(0.0, first - (mean if rest else 0.0))
+        compile_wall += max(0.0, first - (med if rest else 0.0))
         steady_wall += sum(w for _, w in runs) - max(
-            0.0, first - (mean if rest else 0.0))
+            0.0, first - (med if rest else 0.0))
         steady_imgs += sum(n for n, _ in runs)
     tw = compile_wall + steady_wall
     print(f"\ncompile wall ~{compile_wall:.0f}s   steady wall ~{steady_wall:.0f}s"
