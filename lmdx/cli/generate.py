@@ -444,7 +444,11 @@ def plan_shape_classes(groups: list[list[int]], max_variants: int):
             best = min((c for c in chosen
                         if c[0] >= s and c[1] >= _pow2_bucket(mx)),
                        key=lambda c: (c[0], c[1]))
-            plan.append({"pad_boxes_to": best[0], "pad_objs_to": best[1]})
+            # pad_positions_to: word-position (tokenization) buckets
+            # fragment otherwise-equal classes (plural phrases tokenize to
+            # more positions); a fixed small floor unifies them.
+            plan.append({"pad_boxes_to": best[0], "pad_objs_to": best[1],
+                         "pad_positions_to": 4})
             flat_waste += best[0] - s
             obj_waste += best[1] - _pow2_bucket(mx)
         return plan, (flat_waste, obj_waste)

@@ -75,14 +75,17 @@ def run_grounded_batch(
     return_so_images: bool = False,
     pad_boxes_to: int | None = None,
     pad_objs_to: int | None = None,
+    pad_positions_to: int | None = None,
 ) -> list[base.GenerationResult]:
-    """pad_boxes_to / pad_objs_to: compile-budget floors. A serving driver
-    that knows its whole workload can merge batch shape classes — pad the
-    flat per-box batch to `pad_boxes_to` rows and floor the per-image
-    object-count buckets (o_pad/bx_pad) at `pad_objs_to` — trading linear
-    pad compute for an XLA compile per avoided shape class (~10 min each on
-    v5e, measured in BASELINE.md's production-workload table). Outputs are
-    identical: pad rows are sliced away before anything user-visible."""
+    """pad_boxes_to / pad_objs_to / pad_positions_to: compile-budget floors.
+    A serving driver that knows its whole workload can merge batch shape
+    classes — pad the flat per-box batch to `pad_boxes_to` rows, floor the
+    per-image object-count buckets (o_pad/bx_pad) at `pad_objs_to`, and
+    floor the word-position bucket (p_pad) at `pad_positions_to` — trading
+    linear pad compute for an XLA compile per avoided shape class (~10 min
+    each on v5e, measured in BASELINE.md's production-workload table).
+    Outputs are identical: pad rows are sliced away before anything
+    user-visible and floored buckets are masked."""
     cfg = bundle.config
     H, W = cfg.latent_height, cfg.latent_width
     latent_hw = (H, W)
@@ -407,6 +410,12 @@ def run_grounded_batch(
         # cold run; the cost is extra topk sort volume on the padded axes).
         o_pad = max(o_pad, pad_objs_to)
         bx_pad = max(bx_pad, pad_objs_to)
+    if pad_positions_to is not None:
+        # Word-position counts (phrase tokenization) fragment otherwise-
+        # equal classes: the 400-prompt run recompiled a (flat 24, o_pad 4)
+        # batch solely because its plural phrases bumped p_pad (measured
+        # 438 s). Floor it in compile-budget mode.
+        p_pad = max(p_pad, pad_positions_to)
     for g in guid_raw:
         data_list.append(guidance_lib.make_guidance_data(
             g["bboxes"], g["positions"], overall_spec, latent_hw,
@@ -680,13 +689,15 @@ def run_lmd_batch(specs, bundle, segmenter=None, **overrides):
     return_so_images = overrides.pop("return_so_images", False)
     pad_boxes_to = overrides.pop("pad_boxes_to", None)
     pad_objs_to = overrides.pop("pad_objs_to", None)
+    pad_positions_to = overrides.pop("pad_positions_to", None)
     params = GroundedParams(**{**defaults, **overrides})
     return run_grounded_batch(specs, bundle, params, bg_seeds=bg_seeds,
                               fg_seed_starts=fg_seed_starts,
                               segmenter=segmenter,
                               return_so_images=return_so_images,
                               pad_boxes_to=pad_boxes_to,
-                              pad_objs_to=pad_objs_to)
+                              pad_objs_to=pad_objs_to,
+                              pad_positions_to=pad_positions_to)
 
 
 def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
@@ -711,10 +722,12 @@ def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
     return_so_images = overrides.pop("return_so_images", False)
     pad_boxes_to = overrides.pop("pad_boxes_to", None)
     pad_objs_to = overrides.pop("pad_objs_to", None)
+    pad_positions_to = overrides.pop("pad_positions_to", None)
     params = GroundedParams(**{**defaults, **overrides})
     return run_grounded_batch(specs, bundle, params, bg_seeds=bg_seeds,
                               fg_seed_starts=fg_seed_starts,
                               segmenter=segmenter,
                               return_so_images=return_so_images,
                               pad_boxes_to=pad_boxes_to,
-                              pad_objs_to=pad_objs_to)
+                              pad_objs_to=pad_objs_to,
+                              pad_positions_to=pad_positions_to)

@@ -345,6 +345,7 @@ def test_plan_shape_classes():
     chosen = {(p["pad_boxes_to"], p["pad_objs_to"])
               for p in merged if p is not None}
     assert len(chosen) <= 3
+    assert all(p["pad_positions_to"] == 4 for p in merged if p is not None)
     # Every non-empty group is dominated by its assigned class.
     for g, p in zip(groups, merged):
         if sum(g) == 0:
@@ -355,7 +356,8 @@ def test_plan_shape_classes():
     # The dominant 2-box class (27 of 48 batches) must keep its exact
     # shape — merging it upward would be the worst possible waste.
     two_box = merged[15]
-    assert two_box == {"pad_boxes_to": 16, "pad_objs_to": 2}
+    assert two_box == {"pad_boxes_to": 16, "pad_objs_to": 2,
+                       "pad_positions_to": 4}
 
     # Single class: everything pads to the global max.
     one = plan(groups, 1)

@@ -344,7 +344,8 @@ def test_batched_pad_floors_match_default(bundle):
     base = run_lmd_plus_batch([SPEC, spec2], bundle, bg_seeds=[51, 52],
                               **overrides)
     padded = run_lmd_plus_batch([SPEC, spec2], bundle, bg_seeds=[51, 52],
-                                pad_boxes_to=8, pad_objs_to=4, **overrides)
+                                pad_boxes_to=8, pad_objs_to=4,
+                                pad_positions_to=4, **overrides)
     for s, b in zip(base, padded):
         diff = np.abs(s.image.astype(np.int32) - b.image.astype(np.int32))
         assert np.mean(diff) < 2.0, float(np.mean(diff))
