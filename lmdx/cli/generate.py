@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import itertools
+import math
 import os
 import time
 import traceback
@@ -407,27 +408,43 @@ def _flat_bucket(n: int) -> int:
     return ((n + 7) // 8) * 8
 
 
-def plan_shape_classes(groups: list[list[int]], max_variants: int):
+def plan_shape_classes(groups: list[list[int]], max_variants: int,
+                       position_floor: int = 4):
     """Merge batch shape classes down to a compile budget.
 
     groups: per batch, the list of box counts of its images. Each distinct
-    (flat per-box pad, per-image object bucket) pair compiles its own
-    sampler scans (~10 min cold on v5e). With max_variants > 0, choose that
-    many canonical classes (always including one that dominates everything)
-    and pad every non-empty batch up to the smallest dominating canonical
-    class — minimizing total pad waste, lexicographically (extra per-box
-    diffusion rows, then extra guidance-sort object slots). Empty-layout
-    batches have no per-box scan and are left alone.
+    (flat per-box pad, per-image object bucket, group size) triple compiles
+    its own sampler scans (~10 min cold on v5e). With max_variants > 0,
+    choose that many canonical classes (always including one that dominates
+    everything) and pad every non-empty batch up to the smallest dominating
+    canonical class — minimizing total pad waste, lexicographically (extra
+    per-box diffusion rows, then extra guidance-sort object slots).
+    Empty-layout batches have no per-box scan and are left alone.
+
+    The group size G is itself a compiled shape dimension (text embeddings,
+    frozen latents are G-sized), so only groups at the dominant G merge —
+    padding an odd-sized tail group's boxes would buy pad compute without
+    saving a compile. run_batched pads tail groups to full size with
+    duplicate jobs first, so normally every group shares one G.
+
+    position_floor: shared word-position pad (phrase tokenization fragments
+    otherwise-equal classes); derive it from the workload's own maximum
+    position bucket when a tokenizer is available (workload_position_floor).
 
     Returns per group either None (use defaults) or a
-    {"pad_boxes_to", "pad_objs_to"} dict.
+    {"pad_boxes_to", "pad_objs_to", "pad_positions_to"} dict.
     """
     keys = []
     for g in groups:
         s, mx = sum(g), max(g, default=0)
-        keys.append((s, mx) if s else None)
+        keys.append((s, mx, len(g)) if s else None)
+    glens = [k[2] for k in keys if k]
+    if not glens:
+        return [None] * len(groups)
+    g_main = max(set(glens), key=glens.count)
     classes = sorted({(_flat_bucket(s), _pow2_bucket(mx))
-                      for s, mx in (k for k in keys if k)})
+                      for s, mx, glen in (k for k in keys if k)
+                      if glen == g_main})
     if max_variants <= 0 or len(classes) <= max_variants:
         return [None] * len(groups)
 
@@ -437,30 +454,65 @@ def plan_shape_classes(groups: list[list[int]], max_variants: int):
     def assign(chosen):
         plan, flat_waste, obj_waste = [], 0, 0
         for key in keys:
-            if key is None:
+            if key is None or key[2] != g_main:
                 plan.append(None)
                 continue
-            s, mx = key
+            s, mx, _ = key
             best = min((c for c in chosen
                         if c[0] >= s and c[1] >= _pow2_bucket(mx)),
                        key=lambda c: (c[0], c[1]))
-            # pad_positions_to: word-position (tokenization) buckets
-            # fragment otherwise-equal classes (plural phrases tokenize to
-            # more positions); a fixed small floor unifies them.
             plan.append({"pad_boxes_to": best[0], "pad_objs_to": best[1],
-                         "pad_positions_to": 4})
+                         "pad_positions_to": position_floor})
             flat_waste += best[0] - s
             obj_waste += best[1] - _pow2_bucket(mx)
         return plan, (flat_waste, obj_waste)
 
-    best_plan, best_cost = None, None
-    for chosen in itertools.combinations(candidates, max_variants):
-        if top not in chosen:
+    # Exhaustive subset search is exponential in the class count; fall back
+    # to a greedy drop (remove the class whose reassignment costs least)
+    # past a bounded combination count so the driver never stalls planning.
+    n_combos = math.comb(len(candidates) - 1, max_variants - 1)
+    if n_combos <= 20_000:
+        best_plan, best_cost = None, None
+        for chosen in itertools.combinations(candidates, max_variants):
+            if top not in chosen:
+                continue
+            plan, cost = assign(chosen)
+            if best_cost is None or cost < best_cost:
+                best_plan, best_cost = plan, cost
+        return best_plan
+
+    chosen = set(candidates)
+    while len(chosen) > max_variants:
+        best_drop, best_cost = None, None
+        for c in sorted(chosen - {top}):
+            _, cost = assign(sorted(chosen - {c}))
+            if best_cost is None or cost < best_cost:
+                best_drop, best_cost = c, cost
+        chosen.remove(best_drop)
+    return assign(sorted(chosen))[0]
+
+
+def workload_position_floor(tokenizer, specs) -> int:
+    """Maximum word-position bucket over the workload's overall prompts —
+    the same derivation methods/batch.py uses per batch (its p_pad), taken
+    globally so compile-budget mode floors every class to ONE shared value
+    instead of fragmenting on phrase tokenization."""
+    from ..text import tokens as toklib
+    from ..text.parser import BOX_SCALE, convert_spec
+
+    best = 1
+    for spec in specs:
+        conv = convert_spec(spec, *BOX_SCALE)
+        phrases = [x[0] for x in conv.overall_phrases_words_bboxes]
+        words = [x[1] for x in conv.overall_phrases_words_bboxes]
+        if not phrases:
             continue
-        plan, cost = assign(chosen)
-        if best_cost is None or cost < best_cost:
-            best_plan, best_cost = plan, cost
-    return best_plan
+        idx = toklib.get_phrase_indices(
+            tokenizer, conv.overall_prompt, phrases, words=words,
+            add_suffix_if_not_found=True)
+        best = max(best, max(
+            (len(pos) for pos in idx.object_positions), default=1))
+    return _pow2_bucket(best)
 
 
 def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
@@ -531,18 +583,44 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
 
     groups = [jobs[s : s + args.image_batch_size]
               for s in range(0, len(jobs), args.image_batch_size)]
+    # Compile-budget mode: a partial tail group compiles its own sampler
+    # scans regardless of box padding (G is a compiled shape dimension), so
+    # pad it to the full batch size with duplicate jobs (marked, results
+    # discarded) whenever other groups exist — one fewer compiled variant.
+    if args.max_compiled_variants > 0 and len(groups) > 1:
+        for g in groups:
+            while len(g) < args.image_batch_size:
+                g.append({**g[-1], "pad": True})
+
+    position_floor = 4
+    if args.max_compiled_variants > 0 and bundle is not None:
+        position_floor = workload_position_floor(
+            bundle.tokenizer, [j["spec"] for j in jobs])
     pad_plan = plan_shape_classes(
         [[len(j["spec"]["gen_boxes"]) for j in g] for g in groups],
-        args.max_compiled_variants)
+        args.max_compiled_variants, position_floor=position_floor)
     if any(pad_plan):
-        n_cls = len({(p["pad_boxes_to"], p["pad_objs_to"])
-                     for p in pad_plan if p})
-        print(f"[batched] shape classes merged to {n_cls} "
-              f"(--max-compiled-variants {args.max_compiled_variants})")
+        # Count what actually compiles: merged classes by their pad target,
+        # unmerged non-empty groups by their natural buckets — both keyed on
+        # the group size G (a compiled dimension).
+        cls_keys = set()
+        for g, pads in zip(groups, pad_plan):
+            counts = [len(j["spec"]["gen_boxes"]) for j in g]
+            if pads:
+                cls_keys.add((pads["pad_boxes_to"], pads["pad_objs_to"],
+                              pads["pad_positions_to"], len(g)))
+            elif sum(counts):
+                cls_keys.add((_flat_bucket(sum(counts)),
+                              _pow2_bucket(max(counts)), None, len(g)))
+        print(f"[batched] with-box shape classes merged to {len(cls_keys)} "
+              f"compiled variants (--max-compiled-variants "
+              f"{args.max_compiled_variants}, position floor "
+              f"{position_floor})")
 
     print(f"[batched] {len(jobs)} jobs, batch size {args.image_batch_size}")
-    for gi, (group, pads) in enumerate(zip(groups, pad_plan)):
-        start = gi * args.image_batch_size
+    done = 0
+    for group, pads in zip(groups, pad_plan):
+        n_real = sum(1 for j in group if not j.get("pad"))
         box_counts = [len(j["spec"]["gen_boxes"]) for j in group]
         t_batch = time.perf_counter()
         try:
@@ -560,6 +638,8 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 raise
             continue
         for job, result in zip(group, results):
+            if job.get("pad"):
+                continue
             os.makedirs(job["img_dir"], exist_ok=True)
             image = result.image
             if result.aux.get("masks"):
@@ -575,10 +655,13 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 f"{job['img_dir']}/img_{job['repeat']}.png")
         # Per-batch wall + shape: lets a driver run separate compile wall
         # (first batch of a shape class) from steady-state throughput.
+        # boxes= lists the full (pad-inclusive) batch — it names the
+        # compiled shape; img/s counts only the real (saved) images.
         dt = time.perf_counter() - t_batch
-        print(f"[batched] {min(start + len(group), len(jobs))}/{len(jobs)} "
+        done += n_real
+        print(f"[batched] {done}/{len(jobs)} "
               f"done  boxes={box_counts} {dt:.1f}s "
-              f"({len(group) / dt:.3f} img/s)", flush=True)
+              f"({n_real / dt:.3f} img/s)", flush=True)
     return 0
 
 

@@ -84,8 +84,10 @@ def run_grounded_batch(
     floor the word-position bucket (p_pad) at `pad_positions_to` — trading
     linear pad compute for an XLA compile per avoided shape class (~10 min
     each on v5e, measured in BASELINE.md's production-workload table).
-    Outputs are identical: pad rows are sliced away before anything
-    user-visible and floored buckets are masked."""
+    Outputs are numerically equivalent, not bitwise: pad rows are sliced
+    away before anything user-visible and floored buckets are masked, but
+    floored bucket shapes change topk sort shapes and float reduction
+    order — verified to pixel tolerance (tests/test_methods.py)."""
     cfg = bundle.config
     H, W = cfg.latent_height, cfg.latent_width
     latent_hw = (H, W)

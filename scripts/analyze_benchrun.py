@@ -22,11 +22,18 @@ LINE = re.compile(
     r"\[batched\] (\d+)/(\d+) done\s+boxes=(\[[^\]]*\])\s+([0-9.]+)s")
 
 
+def pow2_bucket(n: int) -> int:
+    # Mirrors lmdx/sampling/guidance.py:bucket — the per-image object pad
+    # is the pow2 bucket of max(boxes), not the raw max, so e.g. max=3 and
+    # max=4 batches share ONE compiled variant and must group together.
+    return 1 << max(0, n - 1).bit_length() if n > 0 else 0
+
+
 def box_bucket(n: int) -> int:
     if n <= 0:
         return 0
     if n <= 8:
-        return 1 << max(0, n - 1).bit_length()
+        return pow2_bucket(n)
     return ((n + 7) // 8) * 8
 
 
@@ -39,7 +46,7 @@ def main(path: str) -> None:
             continue
         done, total, boxes_s, wall = m.groups()
         boxes = ast.literal_eval(boxes_s)
-        cls = (box_bucket(sum(boxes)), max(boxes) if boxes else 0)
+        cls = (box_bucket(sum(boxes)), pow2_bucket(max(boxes)) if boxes else 0)
         batches.append((cls, len(boxes), float(wall)))
 
     classes: dict = {}

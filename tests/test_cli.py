@@ -325,6 +325,40 @@ test_generate_batched_driver_resume = pytest.mark.slow(
     test_generate_batched_driver_resume)
 
 
+def test_generate_batched_tail_group_padding(tmp_path, capsys):
+    """In compile-budget mode the partial tail group is padded to the full
+    batch size with duplicate jobs (G is a compiled shape dimension) and
+    the duplicates' results are discarded: the demo cache's 3 prompts at
+    --image-batch-size 2 --max-compiled-variants 1 run as two G=2 groups
+    sharing one compiled variant, and exactly 3 image dirs are written."""
+    if not os.path.exists(DEMO_CACHE):
+        pytest.skip("reference demo cache not present")
+
+    argv = [
+        "--prompt-type", "demo", "--model", "gpt-4",
+        "--template_version", "v0.1", "--run-model", "lmd_plus",
+        "--cache-path", DEMO_CACHE, "--save-dir", str(tmp_path),
+        "--force_run_ind", "0", "--sd-model", "tiny-test",
+        "--image-batch-size", "2", "--num_inference_steps", "4",
+        "--max_index_step", "0", "--overall_max_index_step", "0",
+        "--max-compiled-variants", "1",
+    ]
+    assert gen_cli.main(argv) == 0
+    out = capsys.readouterr().out
+    assert "[batched] 3 jobs, batch size 2" in out
+    assert "merged to 1 compiled variants" in out
+    assert "[batched] 3/3 done" in out
+    run_dir = tmp_path / "templatev0.1_lmd_plus_demo" / "run0"
+    made = sorted(d.name for d in run_dir.iterdir() if d.is_dir())
+    assert made == ["0", "1", "2"]
+    for d in made:
+        assert (run_dir / d / "img_0.png").exists()
+
+
+test_generate_batched_tail_group_padding = pytest.mark.slow(
+    test_generate_batched_tail_group_padding)
+
+
 def test_plan_shape_classes():
     """--max-compiled-variants merges batch shape classes up to a compile
     budget: chosen classes dominate every group, empty-layout groups stay
@@ -342,13 +376,17 @@ def test_plan_shape_classes():
 
     merged = plan(groups, 3)
     assert [p for p in merged[:12]] == [None] * 12   # empties untouched
+    # The odd-sized tail group is excluded from merging: its G=4 compiles
+    # its own scans anyway (the driver pads tail groups to full size with
+    # duplicate jobs *before* planning, so this only triggers if not).
+    assert merged[-1] is None
     chosen = {(p["pad_boxes_to"], p["pad_objs_to"])
               for p in merged if p is not None}
     assert len(chosen) <= 3
     assert all(p["pad_positions_to"] == 4 for p in merged if p is not None)
-    # Every non-empty group is dominated by its assigned class.
+    # Every non-empty full-size group is dominated by its assigned class.
     for g, p in zip(groups, merged):
-        if sum(g) == 0:
+        if sum(g) == 0 or len(g) != 8:
             assert p is None
         else:
             assert p["pad_boxes_to"] >= sum(g)
@@ -359,7 +397,27 @@ def test_plan_shape_classes():
     assert two_box == {"pad_boxes_to": 16, "pad_objs_to": 2,
                        "pad_positions_to": 4}
 
-    # Single class: everything pads to the global max.
+    # Single class: every full group pads to the global max.
     one = plan(groups, 1)
     assert {(p["pad_boxes_to"], p["pad_objs_to"])
             for p in one if p is not None} == {(40, 8)}
+
+    # The position floor is a pass-through into every merged class.
+    floored = plan(groups, 3, position_floor=8)
+    assert all(p["pad_positions_to"] == 8 for p in floored if p is not None)
+
+
+def test_plan_shape_classes_greedy_matches_constraints():
+    """Past the exhaustive-search combination cap the planner goes greedy;
+    the greedy plan must still dominate every group and respect the
+    budget (40 classes at budget 12 would be ~3.9e9 combos exhaustively)."""
+    plan = gen_cli.plan_shape_classes
+    groups = [[b] * 8 for b in range(1, 41)]
+    merged = plan(groups, 12)
+    chosen = {(p["pad_boxes_to"], p["pad_objs_to"]) for p in merged}
+    assert 0 < len(chosen) <= 12
+    # The global top class must survive the greedy drops.
+    assert (320, 64) in chosen
+    for g, p in zip(groups, merged):
+        assert p["pad_boxes_to"] >= sum(g)
+        assert p["pad_objs_to"] >= max(g)
