@@ -211,6 +211,16 @@ def make_save_dir(args) -> str:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..dist import mesh as dist_mesh
+
+    # Multi-host (no-op unless LMDX_COORDINATOR is set): must run before any
+    # backend/device use so every process joins the same distributed runtime.
+    if dist_mesh.initialize_multihost():
+        import jax
+
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     from ..runtime import jit_cache
 
     jit_cache.enable()  # warm-start the multi-minute sampler-scan compiles

@@ -24,12 +24,86 @@ names; `jit` + GSPMD propagate everything else.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host entry point (SURVEY §2: jax.distributed + ICI/DCN meshes).
+
+    Call once per process before any device use. Arguments default to the
+    LMDX_COORDINATOR / LMDX_NUM_PROCESSES / LMDX_PROCESS_ID environment
+    (falling back further to jax's own cluster autodetection for the
+    num/id pair, which works on Cloud TPU pods). Returns True if the
+    distributed runtime was initialized, False when no coordinator is
+    configured (single-process run — the default, a no-op).
+
+    Invocation (one line per host):
+        LMDX_COORDINATOR=host0:8476 LMDX_NUM_PROCESSES=4 LMDX_PROCESS_ID=$i \\
+            python -m lmdx.cli.generate --mesh auto ...
+    """
+    coordinator = coordinator or os.environ.get("LMDX_COORDINATOR")
+    if not coordinator:
+        return False
+    if num_processes is None and os.environ.get("LMDX_NUM_PROCESSES"):
+        num_processes = int(os.environ["LMDX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("LMDX_PROCESS_ID"):
+        process_id = int(os.environ["LMDX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def arrange_devices(devices: Sequence, dp: int, tp: int) -> np.ndarray:
+    """DCN-aware (dp, tp) device layout. Pure topology math (unit-testable
+    without multi-host hardware: only `.process_index` and `.id` are read).
+
+    Invariants:
+    - every tp group lies within ONE process, so tensor-parallel collectives
+      (one all-reduce per attention/MLP pair) ride ICI, never DCN;
+    - the dp axis is process-major (DCN outermost): dp index
+      = process * ici_dp + local_row, so dp sub-groups that span DCN are as
+      coarse as possible and per-image work never crosses hosts.
+    """
+    by_proc: dict[int, list] = {}
+    for d in devices:
+        by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
+    counts = {len(v) for v in by_proc.values()}
+    if len(counts) != 1:
+        raise ValueError(
+            f"uneven device counts per process: "
+            f"{ {p: len(v) for p, v in by_proc.items()} }")
+    per = counts.pop()
+    if tp > per or per % tp != 0:
+        raise ValueError(
+            f"tp={tp} must divide the {per} devices of each process "
+            f"(tensor parallelism rides ICI and cannot span DCN)")
+    ici_dp = per // tp
+    if dp != len(by_proc) * ici_dp:
+        raise ValueError(
+            f"dp={dp} != processes({len(by_proc)}) x ici_dp({ici_dp}) "
+            f"for tp={tp}")
+    rows = []
+    for pid in sorted(by_proc):
+        ds = sorted(by_proc[pid], key=lambda d: d.id)
+        rows.extend(ds[i * tp : (i + 1) * tp] for i in range(ici_dp))
+    arr = np.empty((dp, tp), dtype=object)
+    for i, row in enumerate(rows):
+        for j, d in enumerate(row):
+            arr[i, j] = d
+    return arr
 
 # Leaf-path regexes -> (kernel spec, bias spec). First match wins.
 # Column-parallel (shard output features), then row-parallel (shard input
@@ -64,7 +138,12 @@ def make_mesh(
         tp = n // dp
     if dp * tp != n:
         raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, tp)
+    if len({getattr(d, "process_index", 0) for d in devices}) > 1:
+        # Multi-host: DCN-aware arrangement (tp intra-process, dp
+        # process-major) instead of the flat reshape.
+        arr = arrange_devices(devices, dp, tp)
+    else:
+        arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
 

@@ -310,3 +310,69 @@ def test_param_spec_rules_sdxl_topology():
                  is_leaf=lambda x: isinstance(x, P))}
     assert flat2["layers_0/self_attn/q_proj/kernel"] == P(None, "tp")
     assert flat2["layers_0/fc2/kernel"] == P("tp", None)
+
+
+class _FakeDev:
+    """Minimal stand-in for a jax Device: arrange_devices reads only
+    .process_index and .id, so multi-host topology math is testable on a
+    single-process CPU host."""
+
+    def __init__(self, id, process_index):
+        self.id = id
+        self.process_index = process_index
+
+    def __repr__(self):
+        return f"d{self.id}@p{self.process_index}"
+
+
+def _fake_cluster(n_proc, per_proc):
+    # Interleave ids across processes (mimics pod slices, where global ids
+    # are not contiguous per host) so sorting inside a process matters.
+    return [_FakeDev(id=p + n_proc * i, process_index=p)
+            for p in range(n_proc) for i in range(per_proc)]
+
+
+def test_arrange_devices_multihost_topology():
+    """DCN-aware layout: tp groups never span processes, and the dp axis is
+    process-major (DCN outermost) — SURVEY §2's ICI/DCN mesh blueprint."""
+    devs = _fake_cluster(n_proc=4, per_proc=8)   # 4 hosts x 8 chips
+
+    # tp=2 within hosts: dp = 4 procs x 4 ici rows = 16.
+    arr = meshlib.arrange_devices(devs, dp=16, tp=2)
+    assert arr.shape == (16, 2)
+    for row in arr:
+        assert len({d.process_index for d in row}) == 1   # tp intra-process
+    # dp is process-major: rows 0-3 on proc 0, 4-7 on proc 1, ...
+    assert [row[0].process_index for row in arr] == sum(
+        ([p] * 4 for p in range(4)), [])
+
+    # tp=8 = all of one host's chips.
+    arr8 = meshlib.arrange_devices(devs, dp=4, tp=8)
+    assert arr8.shape == (4, 8)
+    assert [row[0].process_index for row in arr8] == [0, 1, 2, 3]
+    for row in arr8:
+        assert len({d.process_index for d in row}) == 1
+
+
+def test_arrange_devices_rejects_dcn_spanning_tp():
+    devs = _fake_cluster(n_proc=2, per_proc=4)
+    with pytest.raises(ValueError, match="ICI"):
+        meshlib.arrange_devices(devs, dp=1, tp=8)   # tp across hosts
+    with pytest.raises(ValueError, match="tp=3"):
+        meshlib.arrange_devices(devs, dp=2, tp=3)   # does not divide
+    with pytest.raises(ValueError, match="dp=3"):
+        meshlib.arrange_devices(devs, dp=3, tp=2)   # wrong dp for topology
+    with pytest.raises(ValueError, match="uneven"):
+        meshlib.arrange_devices(
+            devs + [_FakeDev(id=99, process_index=0)], dp=2, tp=4)
+
+
+def test_make_mesh_single_process_ignores_arrangement():
+    """All devices on one process -> the flat reshape path (unchanged)."""
+    mesh = meshlib.make_mesh(dp=4, tp=2)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+
+
+def test_initialize_multihost_noop_without_coordinator(monkeypatch):
+    monkeypatch.delenv("LMDX_COORDINATOR", raising=False)
+    assert meshlib.initialize_multihost() is False
