@@ -525,17 +525,11 @@ def workload_position_floor(tokenizer, specs) -> int:
     return _pow2_bucket(best)
 
 
-def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
-                segmenter, sdxl_refiner) -> int:
-    """Throughput mode: group pending (prompt, repeat) jobs into batches of
-    --image-batch-size and run them through the multi-image LMD / LMD+
-    pipeline (lmdx.methods.batch). Resume/seed semantics match the
-    sequential loop."""
-    from ..methods.batch import run_lmd_batch, run_lmd_plus_batch
-
-    run_batch_fn = (run_lmd_plus_batch if args.run_model == "lmd_plus"
-                    else run_lmd_batch)
-
+def build_jobs(args, cache, prompts, save_dir) -> list[dict]:
+    """Pending (prompt, repeat) jobs for the batched driver: parsed specs,
+    per-job seeds (reference derivation), skip-if-exists resume. Pure given
+    (flags, cache, prompt set, save_dir) — warm_cache.py rebuilds the same
+    list to enumerate the shape classes a run will compile."""
     scale_boxes_default = not args.no_scale_boxes_default
     jobs = []
     for ind, prompt in enumerate(prompts):
@@ -580,7 +574,15 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 "bg_seed": base_seed + offset,
                 "fg_seed_start": ind + offset + LARGE_CONSTANT,
             })
+    return jobs
 
+
+def plan_groups(args, jobs, tokenizer=None):
+    """Order jobs, form batches, and plan the compile-budget pads.
+
+    Returns (groups, pad_plan, position_floor); groups may contain jobs
+    marked {"pad": True} (duplicates whose results callers must discard).
+    """
     # Shape scheduling: group jobs by box count so each batch is near-uniform
     # in (sum of boxes, max boxes/image). Every batch shape compiles its own
     # sampler scan on TPU; the benchmark's 1-5 boxes/prompt would otherwise
@@ -589,7 +591,7 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
     # processing order is semantics-neutral (stable sort keeps index order
     # within a box-count class). Disable with --no-shape-schedule.
     if not args.no_shape_schedule:
-        jobs.sort(key=lambda j: len(j["spec"]["gen_boxes"]))
+        jobs = sorted(jobs, key=lambda j: len(j["spec"]["gen_boxes"]))
 
     groups = [jobs[s : s + args.image_batch_size]
               for s in range(0, len(jobs), args.image_batch_size)]
@@ -603,12 +605,29 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 g.append({**g[-1], "pad": True})
 
     position_floor = 4
-    if args.max_compiled_variants > 0 and bundle is not None:
+    if args.max_compiled_variants > 0 and tokenizer is not None:
         position_floor = workload_position_floor(
-            bundle.tokenizer, [j["spec"] for j in jobs])
+            tokenizer, [j["spec"] for j in jobs])
     pad_plan = plan_shape_classes(
         [[len(j["spec"]["gen_boxes"]) for j in g] for g in groups],
         args.max_compiled_variants, position_floor=position_floor)
+    return groups, pad_plan, position_floor
+
+
+def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
+                segmenter, sdxl_refiner) -> int:
+    """Throughput mode: group pending (prompt, repeat) jobs into batches of
+    --image-batch-size and run them through the multi-image LMD / LMD+
+    pipeline (lmdx.methods.batch). Resume/seed semantics match the
+    sequential loop."""
+    from ..methods.batch import run_lmd_batch, run_lmd_plus_batch
+
+    run_batch_fn = (run_lmd_plus_batch if args.run_model == "lmd_plus"
+                    else run_lmd_batch)
+
+    jobs = build_jobs(args, cache, prompts, save_dir)
+    groups, pad_plan, position_floor = plan_groups(
+        args, jobs, tokenizer=bundle.tokenizer if bundle else None)
     if any(pad_plan):
         # Count what actually compiles: merged classes by their pad target,
         # unmerged non-empty groups by their natural buckets — both keyed on

@@ -1,8 +1,14 @@
 """Marginal cost of GroupNorm(+SiLU) in the UNet's conv chains (TPU).
 
-The batch-16 forward profile (scripts/xplane_groups.py) attributes ~42 ms
-of 178 ms to GroupNorm/LayerNorm stats reduce-fusions, ~4-6x over the HBM
-roofline for their traffic. This measures, per SD level shape:
+The batch-16 forward profile (scripts/xplane_groups.py) attributed ~42 ms
+of 178 ms to GroupNorm/LayerNorm stats reduce-fusions. MEASURED OUTCOME
+(round 4, recorded in BASELINE.md's roofline table): the attribution was
+wrong — in situ, GN+SiLU between convs costs −0.01…0.24 ms per instance
+(XLA fuses the stats with the producing convs; the xplane "reduce-fusion"
+events include the fused conv epilogues). Standalone-GN timings here are
+dominated by the ~1.6 ms tunnel dispatch floor (flat across 4× data
+sizes) — trust only the in-situ marginals. This measures, per SD level
+shape:
 
   a) conv3x3 C->C alone
   b) conv3x3 -> GroupNorm -> SiLU -> conv3x3 (the ResNet-block motif)
