@@ -60,6 +60,12 @@ METHOD = os.environ.get("LMDX_BENCH_METHOD", "lmd_plus")
 # tail past the frozen steps only feeds mask extraction).
 USE_FAST = bool(int(os.environ.get("LMDX_BENCH_FAST", "0")))
 
+# LMDX_BENCH_SOLVER=dpmpp_2m selects DPM-Solver++(2M) (the reference's
+# --scheduler DPMSolverMultistep low-latency mode, typically with
+# LMDX_BENCH_STEPS=20); default DDIM at 50 steps.
+SOLVER = os.environ.get("LMDX_BENCH_SOLVER", None)
+STEPS = int(os.environ.get("LMDX_BENCH_STEPS", "50"))
+
 
 def _specs():
     """BATCH distinct 2-box layouts (different objects/placements/seeds)."""
@@ -113,10 +119,13 @@ def main():
     run_batch = run_lmd_batch if METHOD == "lmd" else run_lmd_plus_batch
 
     def once():
+        kwargs = {}
+        if SOLVER:
+            kwargs["scheduler"] = SOLVER
         return run_batch(
             specs, bundle, bg_seeds=list(range(1, BATCH + 1)),
-            num_inference_steps=50, segmenter=segmenter,
-            use_fast_schedule=USE_FAST)
+            num_inference_steps=STEPS, segmenter=segmenter,
+            use_fast_schedule=USE_FAST, **kwargs)
 
     once()  # compile warmup (segments for per-box and overall passes)
 
@@ -129,14 +138,15 @@ def main():
         times.append(time.perf_counter() - t0)
 
     value = BATCH / min(times)
-    metric = f"{METHOD}_sd512_50step_images_per_sec_per_chip"
+    step_tag = f"{STEPS}step" + (f"_{SOLVER}" if SOLVER else "")
+    metric = f"{METHOD}_sd512_{step_tag}_images_per_sec_per_chip"
     if USE_SAM:
         metric += "_with_sam"
     if USE_FAST:
         metric += "_fast"
     extra = {}
     if BATCH == 1:
-        metric = f"{METHOD}_sd512_50step_p50_latency_s" + (
+        metric = f"{METHOD}_sd512_{step_tag}_p50_latency_s" + (
             "_with_sam" if USE_SAM else "") + ("_fast" if USE_FAST else "")
         value = sorted(times)[len(times) // 2]
         extra = {"unit": "s/image",

@@ -52,11 +52,18 @@ def img2img(
     negative_prompt: str = "",
     strength: float = 0.3,
     num_inference_steps: int = 50,
-    guidance_scale: float = 7.5,
+    guidance_scale: float = 5.0,
     seed: int = 0,
+    return_latents: bool = False,
 ) -> np.ndarray:
     """Noise the encoded image at the strength point of the grid and denoise
-    the remaining steps (diffusers img2img semantics)."""
+    the remaining steps (diffusers XL img2img semantics — guidance_scale
+    defaults to the XL pipeline's 5.0, which the reference inherits by not
+    passing one, sdxl_refinement.py:29). Trajectory-pinned against the shim
+    transcription of the pipeline the reference calls
+    (tests/test_pipeline_parity.py::test_sdxl_refiner_img2img_matches_shim).
+    return_latents: skip the VAE decode and return the final (1,h,w,4)
+    latents (parity tests compare latents)."""
     schedule = sched.make_schedule(num_inference_steps)
     start = max(num_inference_steps - int(num_inference_steps * strength), 0)
     start = min(start, num_inference_steps - 1)
@@ -100,6 +107,8 @@ def img2img(
     out = sample(bundle.unet, bundle.params["unet"], tail, latents,
                  text_embeddings, guidance_scale=guidance_scale,
                  added_cond=added_cond)
+    if return_latents:
+        return np.asarray(out.latents)
     return base.decode_latents(bundle, out.latents)[0]
 
 
@@ -117,7 +126,9 @@ def refine(image: np.ndarray, spec, refine_seed: int,
         target_size = bundle.config.height
     prompt = base.spec_get(spec, "prompt")
     extra = base.spec_get(spec, "extra_neg_prompt", "")
-    negative = f"{extra}, {SDXL_NEGATIVE_PROMPT}" if extra else SDXL_NEGATIVE_PROMPT
+    # Reference-exact concatenation (sdxl_refinement.py:28): the reference
+    # always prepends `extra + ", "`, including when extra is empty.
+    negative = f"{extra}, {SDXL_NEGATIVE_PROMPT}"
 
     upscaled = np.asarray(
         Image.fromarray(image).resize((target_size, target_size), Image.LANCZOS))

@@ -18,6 +18,9 @@ from .schedulers import (  # noqa: F401  (reference models/models.py:3)
     DDIMScheduler,
     DPMSolverMultistepScheduler,
 )
+from .pipeline_xl_img2img import (  # noqa: F401
+    StableDiffusionXLImg2ImgPipeline,  # reference generation/sdxl_refinement.py:1
+)
 
 
 class UNet2DConditionModel:  # import-time stub (generation/multidiffusion.py:16)

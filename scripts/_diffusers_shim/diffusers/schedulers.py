@@ -70,6 +70,16 @@ class DDIMScheduler(ConfigMixin):
     def scale_model_input(self, sample: torch.Tensor, timestep=None):
         return sample
 
+    def add_noise(self, original_samples: torch.Tensor, noise: torch.Tensor,
+                  timesteps: torch.Tensor) -> torch.Tensor:
+        """Forward process q(x_t | x_0) (diffusers 0.18 DDIMScheduler.add_noise);
+        the XL img2img pipeline noises the encoded image at the strength
+        point with this."""
+        acp = self.alphas_cumprod[timesteps.long()].flatten()
+        while acp.dim() < original_samples.dim():
+            acp = acp.unsqueeze(-1)
+        return (acp**0.5) * original_samples + ((1.0 - acp) ** 0.5) * noise
+
     def set_timesteps(self, num_inference_steps: int):
         cfg = self.config
         self.num_inference_steps = num_inference_steps

@@ -924,3 +924,218 @@ def test_invert_matches_reference():
                 np.asarray(traj[i]), _nhwc(t_traj[STEPS - 1 - i]), atol=2e-3)
         np.testing.assert_allclose(
             np.asarray(final), _nhwc(t_traj[0]), atol=2e-3)
+
+
+def _tiny_xl_refiner_pair():
+    """(torch fork UNet + diffusers-exact text_time augmentation, lmdx bundle
+    at the matching text_time config, shared converted weights).
+
+    The reference's SDXL refiner calls diffusers' XL img2img pipeline
+    directly (generation/sdxl_refinement.py:14-30) — there is no reference
+    loop to import, so the torch side is the vendored fork UNet with the
+    text_time micro-conditioning grafted on exactly as diffusers'
+    UNet2DConditionModel does it (Fourier-embed time ids -> concat pooled ->
+    add_embedding MLP -> added to the time embedding), which is also what
+    lmdx/nn/unet.py:128-144 implements."""
+    import dataclasses
+
+    from lmdx import config as cfglib
+    from lmdx.runtime import models as runtime_models
+    from lmdx.runtime.convert import convert_unet
+    from lmdx.text import tokens as toklib
+
+    unet_mod = _load_vendored_unet_module()
+    cfg = cfglib.tiny_test()
+    ucfg = dataclasses.replace(
+        cfg.unet, use_gligen=False, addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=cfg.clip.hidden_size + 8 * 5)
+    cfg = dataclasses.replace(cfg, unet=ucfg)
+
+    torch.manual_seed(3)
+    tm = unet_mod.UNet2DConditionModel(
+        sample_size=16, in_channels=4, out_channels=4,
+        down_block_types=ucfg.down_block_types,
+        up_block_types=ucfg.up_block_types,
+        block_out_channels=ucfg.block_out_channels,
+        layers_per_block=ucfg.layers_per_block,
+        cross_attention_dim=ucfg.cross_attention_dim,
+        attention_head_dim=ucfg.num_attention_heads[0],
+        norm_num_groups=ucfg.norm_num_groups,
+        use_gated_attention=False,
+    ).eval()
+
+    class _AddEmbedding(torch.nn.Module):
+        # diffusers TimestepEmbedding naming (linear_1/linear_2) so the
+        # state dict matches the checkpoint contract convert_unet expects.
+        def __init__(self, in_dim, out_dim):
+            super().__init__()
+            self.linear_1 = torch.nn.Linear(in_dim, out_dim)
+            self.act = torch.nn.SiLU()
+            self.linear_2 = torch.nn.Linear(out_dim, out_dim)
+
+        def forward(self, x):
+            return self.linear_2(self.act(self.linear_1(x)))
+
+    torch.manual_seed(4)
+    tm.add_embedding = _AddEmbedding(
+        ucfg.projection_class_embeddings_input_dim, ucfg.time_embed_dim)
+
+    # Snapshot + convert BEFORE patching time_embedding (the patch would
+    # rename its state-dict keys).
+    sd = _to_np(tm.state_dict())
+    params_unet = convert_unet(sd, cfg)
+
+    from diffusers.models.embeddings import Timesteps
+
+    add_time_proj = Timesteps(ucfg.addition_time_embed_dim,
+                              ucfg.flip_sin_to_cos, ucfg.freq_shift)
+    aug_state = {"emb": None}
+    orig_te = tm.time_embedding
+
+    class _AugTimeEmbedding(torch.nn.Module):
+        def forward(self, t_feat, *args):   # fork passes timestep_cond too
+            emb = orig_te(t_feat, *args)
+            if aug_state["emb"] is not None:
+                emb = emb + aug_state["emb"]
+            return emb
+
+    tm.time_embedding = _AugTimeEmbedding()
+
+    def unet_fn(sample, t, encoder_hidden_states, added_cond_kwargs):
+        ids = added_cond_kwargs["time_ids"]
+        id_emb = add_time_proj(ids.reshape(-1)).reshape(ids.shape[0], -1)
+        aug = torch.cat(
+            [added_cond_kwargs["text_embeds"], id_emb], dim=-1)
+        aug_state["emb"] = tm.add_embedding(aug)
+        try:
+            return tm(sample, t, encoder_hidden_states=encoder_hidden_states
+                      ).sample
+        finally:
+            aug_state["emb"] = None
+
+    unet_m, te, vae, pn = runtime_models.build_modules(cfg)
+    params = runtime_models.init_random_params(cfg, seed=7)
+    params["unet"] = params_unet
+    bundle = runtime_models.ModelBundle(
+        config=cfg, tokenizer=toklib.default_tokenizer(), unet=unet_m,
+        text_encoder=te, vae=vae, position_net=pn, params=params,
+        text_encoder_2=runtime_models.build_text_encoder_2(cfg))
+    return unet_fn, bundle
+
+
+@pytest.mark.slow
+def test_sdxl_refiner_img2img_matches_shim():
+    """lmdx sdxl_refine.img2img vs the shim transcription of the diffusers
+    XL img2img pipeline the reference calls (sdxl_refinement.py:22-30):
+    strength->t_start mapping, add_noise at the sliced grid head,
+    aesthetic-score text_time ids (6.0 cond / 2.5 uncond), CFG at the XL
+    default guidance 5.0, DDIM tail — full final-latent parity on shared
+    tiny weights."""
+    _load_reference_pipelines()  # installs the shim on sys.path
+    from diffusers import DDIMScheduler, StableDiffusionXLImg2ImgPipeline
+
+    from lmdx.methods import base as mbase
+    from lmdx.methods import sdxl_refine
+    from lmdx.runtime import models as runtime_models
+    from lmdx.sampling import latents as latents_lib
+
+    unet_fn, bundle = _tiny_xl_refiner_pair()
+    rng = np.random.default_rng(19)
+    image = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    prompt = "a red car on a beach"
+    negative = ", drawing, sketch"
+    seed, strength, steps = 5, 0.5, 8
+
+    lat_lmdx = sdxl_refine.img2img(
+        bundle, image, prompt, negative_prompt=negative, strength=strength,
+        num_inference_steps=steps, seed=seed, return_latents=True)
+
+    # Identical inputs for the torch side, produced by the same encoders.
+    lat_shape = (1, 32 // bundle.config.vae_scale,
+                 32 // bundle.config.vae_scale, 4)
+    latents0 = mbase.encode_image(
+        bundle, image,
+        noise=latents_lib.noise_from_seed(seed + 1, lat_shape))
+    noise = latents_lib.noise_from_seed(seed, lat_shape)
+    cond, cond_pooled = runtime_models.encode_text(bundle, [prompt])
+    uncond, uncond_pooled = runtime_models.encode_text(bundle, [negative])
+
+    def _t(x):  # NHWC numpy/jax -> NCHW torch
+        return torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2).copy())
+
+    pipe = StableDiffusionXLImg2ImgPipeline(
+        unet=unet_fn, scheduler=DDIMScheduler(),
+        vae_encode=lambda img: _t(latents0),
+        requires_aesthetics_score=True)
+    lat_torch = pipe(
+        image=torch.zeros((1, 3, 32, 32)),
+        prompt_embeds=torch.from_numpy(np.asarray(cond)),
+        negative_prompt_embeds=torch.from_numpy(np.asarray(uncond)),
+        pooled_prompt_embeds=torch.from_numpy(np.asarray(cond_pooled)),
+        negative_pooled_prompt_embeds=torch.from_numpy(
+            np.asarray(uncond_pooled)),
+        noise=_t(noise), strength=strength, num_inference_steps=steps)
+
+    np.testing.assert_allclose(
+        np.asarray(lat_lmdx), _nhwc(lat_torch), atol=2e-3)
+
+
+def test_sdxl_refine_chain_matches_reference_semantics(monkeypatch, tmp_path):
+    """refine()'s pre-pipeline chain vs the reference's literal code
+    (generation/sdxl_refinement.py:22-30): the style negative prompt string,
+    the always-prepended extra negative (including the empty-extra leading
+    comma), the LANCZOS upscale, strength/seed passthrough, and the XL
+    default guidance scale (5.0, inherited by not passing one)."""
+    import importlib.util
+
+    from PIL import Image as PILImage
+
+    from lmdx.methods import sdxl_refine
+
+    spec_mod = importlib.util.spec_from_file_location(
+        "ref_sdxl_refinement", "/root/reference/generation/sdxl_refinement.py")
+    shim = os.path.join(REPO, "scripts", "_diffusers_shim")
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+    ref = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(ref)
+    assert sdxl_refine.SDXL_NEGATIVE_PROMPT == ref.sdxl_negative_prompt
+
+    import inspect
+
+    assert inspect.signature(
+        sdxl_refine.img2img).parameters["guidance_scale"].default == 5.0
+
+    captured = {}
+
+    def fake_img2img(bundle, image, prompt, **kwargs):
+        captured.update(kwargs, image=image, prompt=prompt)
+        return image
+
+    monkeypatch.setattr(sdxl_refine, "img2img", fake_img2img)
+
+    class _B:  # bundle stand-in: refine only reads config.height
+        class config:  # noqa: N801
+            height = 64
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    spec = {"prompt": "p", "extra_neg_prompt": ""}
+    sdxl_refine.refine(img, spec, refine_seed=11,
+                       refinement_step_ratio=0.42, bundle=_B)
+
+    expect = np.asarray(
+        PILImage.fromarray(img).resize((64, 64), PILImage.LANCZOS))
+    np.testing.assert_array_equal(captured["image"], expect)
+    # Reference line 28: extra + ", " + style negative, even when empty.
+    assert captured["negative_prompt"] == ", " + ref.sdxl_negative_prompt
+    assert captured["strength"] == 0.42
+    assert captured["seed"] == 11
+    # guidance_scale is NOT overridden -> img2img's XL default 5.0
+    # applies (asserted on the real signature above, pre-monkeypatch).
+    assert "guidance_scale" not in captured
+
+    spec2 = {"prompt": "p", "extra_neg_prompt": "cartoon"}
+    sdxl_refine.refine(img, spec2, refine_seed=1, bundle=_B)
+    assert captured["negative_prompt"] == "cartoon, " + ref.sdxl_negative_prompt
