@@ -9,8 +9,10 @@ lmdx.sampling.masking.Segmenter.
 
 Weights convert from a transformers `facebook/sam-vit-base` checkpoint via
 `convert_sam`. The image encoder runs once per per-box image — off the
-per-step hot path — so it is implemented for clarity + XLA fusion, not
-hand-tuned kernels.
+per-step hot path — so most of it leans on XLA fusion; the exception is the
+global-attention layers' (N, N) score map at N = 4096, which goes through a
+fused Pallas kernel with the decomposed rel-pos bias injected in VMEM
+(pallas/sam_attention.py).
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .pallas import sam_attention as sam_attention_kernel
 
 
 @dataclass(frozen=True)
@@ -81,10 +85,6 @@ class SamAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, self.heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
-        scale = head_dim**-0.5
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-
         if self.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.input_size[0] - 1, head_dim))
@@ -95,12 +95,19 @@ class SamAttention(nn.Module):
             q_sp = q.reshape(b, self.heads, h, w, head_dim).astype(jnp.float32)
             bias_h = jnp.einsum("bnhwd,hkd->bnhwk", q_sp, rh)
             bias_w = jnp.einsum("bnhwd,wkd->bnhwk", q_sp, rw)
-            attn = attn.reshape(b, self.heads, h, w, h, w)
-            attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
-            attn = attn.reshape(b, self.heads, h * w, h * w)
-
-        probs = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            # Fused path (TPU, global layers): scores + decomposed bias +
+            # softmax + AV in VMEM — never materializes the (N, N) map.
+            out = sam_attention_kernel.sam_global_attention(
+                q, k, v, bias_h.reshape(b, self.heads, h * w, h),
+                bias_w.reshape(b, self.heads, h * w, w))
+        else:
+            scale = head_dim**-0.5
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(attn.astype(jnp.float32),
+                                   axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -505,18 +512,37 @@ class FlaxSamSegmenter:
         """
         n = len(images)
         if n > self.CHUNK:
-            out = []
+            # Dispatch every chunk's forward+postprocess before fetching any
+            # result: each np.asarray is a host round trip over the chip
+            # tunnel, and fetching chunk i before dispatching chunk i+1 would
+            # serialize device work against that latency.
+            pending = []
             for s in range(0, n, self.CHUNK):
-                out.extend(self.segment_batch(
+                pending.append(self._segment_chunk(
                     images[s : s + self.CHUNK],
                     input_points=(None if input_points is None
                                   else input_points[s : s + self.CHUNK]),
                     input_boxes=(None if input_boxes is None
                                  else input_boxes[s : s + self.CHUNK]),
                     target_hw=target_hw))
+            out = []
+            for masks, iou, m in pending:
+                masks = np.asarray(masks[:m])
+                iou = np.asarray(iou[:m], np.float32)
+                out.extend((masks[i], iou[i]) for i in range(m))
             return out
+        masks, iou, m = self._segment_chunk(
+            images, input_points=input_points, input_boxes=input_boxes,
+            target_hw=target_hw)
+        masks = np.asarray(masks[:m])
+        iou = np.asarray(iou[:m], np.float32)
+        return [(masks[i], iou[i]) for i in range(m)]
 
+    def _segment_chunk(self, images, input_points, input_boxes, target_hw):
+        """Dispatch one chunk; returns device arrays (masks, iou, n) without
+        forcing a host sync."""
         arrs = [self._preprocess(im) for im in images]
+        n = len(images)
         if len({a.shape for a in arrs}) > 1:
             # Mixed sizes (not produced by any pipeline path): host-resize
             # to the model size so the batch stacks.
@@ -572,10 +598,9 @@ class FlaxSamSegmenter:
         # cross the tunnel, not model-resolution float masks).
         oh, ow = arrs[0].shape[:2]
         th, tw = target_hw
-        masks = np.asarray(_postprocess_masks(
-            masks, size=size, oh=oh, ow=ow, th=th, tw=tw)[:n])
-        iou = np.asarray(iou[:n], np.float32)
-        return [(masks[i], iou[i]) for i in range(n)]
+        masks = _postprocess_masks(masks, size=size, oh=oh, ow=ow,
+                                   th=th, tw=tw)
+        return masks, iou, n
 
 
 # ---- conversion ------------------------------------------------------------
