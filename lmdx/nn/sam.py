@@ -495,10 +495,11 @@ class FlaxSamSegmenter:
             target_hw=target_hw)
         return masks, iou
 
-    # Compiled batch cap: each global-attention layer materializes a
-    # (B, heads, 4096, 4096) f32 score matrix at the 1024² input — 0.8 GB
-    # per image — so the batch is processed in chunks of at most 4
-    # (3.2 GB peak) rather than all at once.
+    # Compiled batch cap. Originally forced by the materialized
+    # (B, heads, 4096, 4096) f32 score matrices (0.8 GB/image); the fused
+    # global-attention kernel removed that peak, but 4 re-measured as the
+    # fastest chunk post-kernel too (16 boxes e2e on v5e: 558 ms at 4,
+    # 621 at 8, 764 at 16 — larger chunks lose dispatch/compute overlap).
     CHUNK = 4
 
     def segment_batch(self, images, input_points=None, input_boxes=None,
