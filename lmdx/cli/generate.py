@@ -688,8 +688,14 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
         # compiled shape; img/s counts only the real (saved) images.
         dt = time.perf_counter() - t_batch
         done += n_real
+        # pad=... names the EFFECTIVE compiled class under a compile-budget
+        # plan — without it a log analyzer keys batches on their raw shapes
+        # and misattributes which batch paid which compile (seen on the
+        # round-4 cold-cache N=3 validation run).
+        pad_note = (f" pad=({pads['pad_boxes_to']},{pads['pad_objs_to']})"
+                    if pads else "")
         print(f"[batched] {done}/{len(jobs)} "
-              f"done  boxes={box_counts} {dt:.1f}s "
+              f"done  boxes={box_counts}{pad_note} {dt:.1f}s "
               f"({n_real / dt:.3f} img/s)", flush=True)
     return 0
 

@@ -19,7 +19,8 @@ import re
 import sys
 
 LINE = re.compile(
-    r"\[batched\] (\d+)/(\d+) done\s+boxes=(\[[^\]]*\])\s+([0-9.]+)s")
+    r"\[batched\] (\d+)/(\d+) done\s+boxes=(\[[^\]]*\])"
+    r"(?:\s+pad=\((\d+),(\d+)\))?\s+([0-9.]+)s")
 
 
 def pow2_bucket(n: int) -> int:
@@ -44,9 +45,16 @@ def main(path: str) -> None:
         m = LINE.search(line)
         if not m:
             continue
-        done, total, boxes_s, wall = m.groups()
+        done, total, boxes_s, pad_flat, pad_objs, wall = m.groups()
         boxes = ast.literal_eval(boxes_s)
-        cls = (box_bucket(sum(boxes)), pow2_bucket(max(boxes)) if boxes else 0)
+        if pad_flat is not None:
+            # Compile-budget plan: the driver logged the EFFECTIVE padded
+            # class this batch compiled/ran as — raw shapes would
+            # misattribute which batch paid which compile.
+            cls = (int(pad_flat), int(pad_objs))
+        else:
+            cls = (box_bucket(sum(boxes)),
+                   pow2_bucket(max(boxes)) if boxes else 0)
         batches.append((cls, len(boxes), float(wall)))
 
     classes: dict = {}
