@@ -278,7 +278,10 @@ def run_grounded(spec, bundle, p: GroundedParams,
             out.all_latents, out.saved_taps, out.latents)
 
         so_images_arr = (
-            base.decode_latents(bundle, final_latents)
+            base.decode_latents(
+                bundle, final_latents,
+                to_host=(return_so_images or not getattr(
+                    segmenter, "accepts_device_arrays", False)))
             if (return_so_images
                 or (segmenter is not None
                     and getattr(segmenter, "needs_image", True))) else None

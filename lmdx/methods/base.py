@@ -41,11 +41,17 @@ def _vae_encode(vae, params, images, noise):
                      method=vae.__class__.encode)
 
 
-def decode_latents(bundle: ModelBundle, latents) -> np.ndarray:
+def decode_latents(bundle: ModelBundle, latents, to_host: bool = True):
     """Latents (B, h, w, 4) -> uint8 images (B, H, W, 3).
 
     Batch is padded to a power-of-two bucket so varying box counts reuse a
-    handful of compiled decoders instead of one per distinct N."""
+    handful of compiled decoders instead of one per distinct N.
+
+    to_host=False returns the device array instead of fetching: decode
+    compute is cheap (~129 ms for 8 images in-jit, scripts/microbench_vae.py)
+    but the uint8 fetch rides the chip tunnel — callers that feed the images
+    straight back to a device consumer (the SAM segmenter) skip the
+    round-trip."""
     latents = jnp.asarray(latents)
     n = latents.shape[0]
     bucket = 1
@@ -56,7 +62,7 @@ def decode_latents(bundle: ModelBundle, latents) -> np.ndarray:
             [latents, jnp.zeros((bucket - n, *latents.shape[1:]),
                                 latents.dtype)], axis=0)
     out = _vae_decode(bundle.vae, bundle.params["vae"], latents)
-    return np.asarray(out[:n])
+    return np.asarray(out[:n]) if to_host else out[:n]
 
 
 def encode_image(bundle: ModelBundle, image: np.ndarray, noise=None):

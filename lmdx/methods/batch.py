@@ -264,7 +264,14 @@ def run_grounded_batch(
         )
         needs_pixels = (return_so_images
                         or getattr(segmenter, "needs_image", True))
-        so_images = (base.decode_latents(bundle, out.latents[:n_real])
+        # to_host only when the caller wants the per-box images back; a
+        # segmenter that accepts_device_arrays (FlaxSamSegmenter) consumes
+        # them ON DEVICE — the decode→SAM handoff skips a ~25 MB uint8
+        # round-trip over the chip tunnel per 16-box batch.
+        to_host = (return_so_images or not getattr(
+            segmenter, "accepts_device_arrays", False))
+        so_images = (base.decode_latents(bundle, out.latents[:n_real],
+                                         to_host=to_host)
                      if needs_pixels else [None] * n_real)
         # Trajectories and attention taps stay ON DEVICE when no alignment
         # shift is needed (LMD+ default): downloading+re-uploading them costs

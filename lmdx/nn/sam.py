@@ -456,6 +456,10 @@ class FlaxSamSegmenter:
     difference between a memory/launch-bound loop and an MXU-bound matmul.
     """
 
+    # segment_batch takes jax uint8 HxWx3 arrays directly (no host fetch):
+    # pipeline callers hand decode_latents(to_host=False) output straight in.
+    accepts_device_arrays = True
+
     def __init__(self, params, config: SamConfig | None = None,
                  dtype=jnp.bfloat16):
         self.config = config or sam_vit_base()
@@ -506,7 +510,9 @@ class FlaxSamSegmenter:
                       target_hw=None):
         """Segment B images with one prompt each, in chunked jitted forwards.
 
-        images: length-B list of HxWx3 arrays. Exactly one of input_points
+        images: length-B list of HxWx3 arrays — host uint8 (PIL-normalized)
+        or jax uint8 device arrays (decode_latents(to_host=False); stays on
+        device end to end). Exactly one of input_points
         (B entries of [(x, y)]) / input_boxes (B entries of [(x0,y0,x1,y1)])
         — per-image prompt kind mixing is not needed by any pipeline path.
         Returns a length-B list of (masks (3, h, w) bool, iou (3,)).
@@ -541,20 +547,34 @@ class FlaxSamSegmenter:
 
     def _segment_chunk(self, images, input_points, input_boxes, target_hw):
         """Dispatch one chunk; returns device arrays (masks, iou, n) without
-        forcing a host sync."""
-        arrs = [self._preprocess(im) for im in images]
-        n = len(images)
-        if len({a.shape for a in arrs}) > 1:
-            # Mixed sizes (not produced by any pipeline path): host-resize
-            # to the model size so the batch stacks.
-            from PIL import Image as PILImage
+        forcing a host sync.
 
-            size = self.config.image_size
-            arrs = [np.asarray(
-                PILImage.fromarray(a).resize((size, size),
-                                             PILImage.BILINEAR), np.uint8)
-                for a in arrs]
-        pixels = np.stack(arrs)
+        Device fast path: images that are already jax uint8 HxWx3 arrays
+        (decode_latents(to_host=False)) stay on device — no PIL, no host
+        stack, no tunnel round-trip; prompts only need their shapes."""
+        n = len(images)
+        if all(isinstance(im, jax.Array) for im in images):
+            arrs = images
+            if len({a.shape for a in arrs}) > 1:
+                raise ValueError("device-array batch must be uniform-size")
+            device_pixels = jnp.stack(arrs)
+        else:
+            device_pixels = None
+            arrs = [self._preprocess(im) for im in images]
+        if device_pixels is None:
+            if len({a.shape for a in arrs}) > 1:
+                # Mixed sizes (not produced by any pipeline path): host-resize
+                # to the model size so the batch stacks.
+                from PIL import Image as PILImage
+
+                size = self.config.image_size
+                arrs = [np.asarray(
+                    PILImage.fromarray(a).resize((size, size),
+                                                 PILImage.BILINEAR), np.uint8)
+                    for a in arrs]
+            pixels = np.stack(arrs)
+        else:
+            pixels = device_pixels
         size = self.config.image_size
         # Both prompt kinds share the compiled 2-slot shape: a lone point
         # rides slot 0 with slot 1 padded as "not a point" (label -1).
@@ -588,7 +608,8 @@ class FlaxSamSegmenter:
         b = _bucket_pow2(n)
         if b > n:
             pad = ((0, b - n),) + ((0, 0),) * (pixels.ndim - 1)
-            pixels = np.pad(pixels, pad, mode="edge")
+            xp = jnp if device_pixels is not None else np
+            pixels = xp.pad(pixels, pad, mode="edge")
             points = np.pad(points, ((0, b - n), (0, 0), (0, 0)))
             labels = np.pad(labels, ((0, b - n), (0, 0)),
                             constant_values=-1)

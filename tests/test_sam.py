@@ -72,6 +72,27 @@ def test_sam_segment_batch_matches_singles(tiny):
             np.testing.assert_allclose(iou_b, iou_s, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_sam_segment_batch_device_arrays_match_host(tiny):
+    """The on-device fast path (jax uint8 arrays from
+    decode_latents(to_host=False)) must reproduce the host-numpy path bit
+    for bit — including a bucketed/padded tail chunk."""
+    cfg, _, params = tiny
+    seg = samlib.FlaxSamSegmenter(params, cfg, dtype=jnp.float32)
+    assert seg.accepts_device_arrays
+    rng = np.random.default_rng(1)
+    host = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(5)]
+    dev = [jnp.asarray(a) for a in host]
+    boxes = [[(0.1, 0.1, 0.6, 0.7)], [(0.3, 0.2, 0.9, 0.8)],
+             [(0.0, 0.4, 0.5, 1.0)], [(0.2, 0.0, 0.7, 0.5)],
+             [(0.4, 0.4, 1.0, 1.0)]]
+    out_h = seg.segment_batch(host, input_boxes=boxes, target_hw=(16, 16))
+    out_d = seg.segment_batch(dev, input_boxes=boxes, target_hw=(16, 16))
+    for (mh, ih), (md, idv) in zip(out_h, out_d):
+        np.testing.assert_array_equal(mh, md)
+        np.testing.assert_allclose(ih, idv, atol=1e-6)
+
+
 def test_refine_masks_batched_match_singles():
     """Batched refine helpers == single-box wrappers (CoarseSegmenter)."""
     seg = masking.CoarseSegmenter()
