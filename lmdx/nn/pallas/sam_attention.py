@@ -151,12 +151,16 @@ def _pallas_sam_attention(q, k, v, biasq, onehot, interpret=False):
             s = jnp.where(col < lk, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m).astype(jnp.bfloat16)
-        ones = jnp.ones((vb.shape[0], 1), vb.dtype)
-        if lk_pad != lk:
-            ones = _zero_tail_rows(ones, lk)
         vext = jnp.concatenate(
-            [vb, ones, jnp.zeros((vb.shape[0], de - d - 1), vb.dtype)],
-            axis=1)
+            [vb, jnp.ones((vb.shape[0], 1), vb.dtype),
+             jnp.zeros((vb.shape[0], de - d - 1), vb.dtype)], axis=1)
+        if lk_pad != lk:
+            # Mask the 2D extended block, not the (rows, 1) ones column —
+            # Mosaic rejects the 1-lane bool vector's relayout ("Invalid
+            # relayout ... vector<256x1xi1>", seen at the 196-token windowed
+            # shape). vb's tail rows are already zero; re-zeroing them in
+            # vext is free and keeps one mask shape.
+            vext = _zero_tail_rows(vext, lk)
         oe = jax.lax.dot_general(
             p, vext, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -195,9 +199,13 @@ def _kernel_supported(q, gh: int, gw: int) -> bool:
     *_, lq, d = q.shape
     if lq != gh * gw or d > 128 or d % 8 != 0:
         return False
-    # Below ~1024 tokens the score matrix is small enough that the XLA path's
-    # HBM round trips don't matter and the one-hot matmul is pure overhead.
-    if lq < 1024:
+    # Floor 196 covers every SAM ViT shape: the 14x14 windowed layers
+    # (196 tokens x 1200 head-batches at B=4 — measured 138.8 -> 112.3 ms
+    # encoder when routed through the kernel, the bias-materialization +
+    # window-relayout passes dominating the tiny matmuls) and the 64x64
+    # global layers. Smaller grids exist only in CPU tests (XLA fallback).
+    # LMDX_SAM_FLASH_MIN_TOKENS overrides for tuning experiments.
+    if lq < int(os.environ.get("LMDX_SAM_FLASH_MIN_TOKENS", "196")):
         return False
     # Full K/V + onehot + the smallest score block must fit scoped VMEM.
     lk_pad = -(-lq // 128) * 128

@@ -31,6 +31,7 @@ def _rand_inputs(b, h, gh, gw, d, dtype=jnp.float32):
     (8, 8, 32),     # N=64: tail-masked partial K block (lk_pad 128 > 64)
     (16, 16, 64),   # N=256: aligned, multiple q-blocks
     (8, 16, 16),    # non-square grid
+    (14, 14, 64),   # N=196: the SAM ViT windowed-layer shape (lk_pad 256)
 ])
 def test_kernel_matches_xla(gh, gw, d):
     # The kernel's dots run in bf16 (matching the reference's fp16-autocast
@@ -85,8 +86,10 @@ def test_supported_envelope():
     q = jnp.zeros((1, 12, 4096, 64))
     assert sa._kernel_supported(q, 64, 64)          # SAM ViT-B global layer
     assert not sa._kernel_supported(q, 64, 32)      # grid mismatch
-    small = jnp.zeros((1, 12, 196, 64))
-    assert not sa._kernel_supported(small, 14, 14)  # windowed-size: XLA path
+    win = jnp.zeros((1, 12, 196, 64))
+    assert sa._kernel_supported(win, 14, 14)        # 14x14 windowed layer
+    tiny = jnp.zeros((1, 2, 16, 8))
+    assert not sa._kernel_supported(tiny, 4, 4)     # CPU-test grids: XLA path
 
 
 @pytest.mark.slow
