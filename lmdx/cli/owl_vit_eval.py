@@ -41,6 +41,10 @@ def main(argv=None) -> int:
                              "(reference owl_vit_eval.py:22)")
     parser.add_argument("--num_prompts", default=None, type=int)
     parser.add_argument("--repeats", default=1, type=int)
+    parser.add_argument("--eval-batch-size", default=8, type=int,
+                        help="images per batched detector forward "
+                             "(1 = the reference's one-image-at-a-time "
+                             "evaluation loop)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
@@ -77,6 +81,7 @@ def main(argv=None) -> int:
         skip_first_prompts=args.skip_first_prompts,
         num_prompts=args.num_prompts, repeats=args.repeats,
         run_start_ind=args.run_start_ind,
+        eval_batch=args.eval_batch_size,
         score_threshold=args.detection_score_threshold,
         nms_threshold=args.nms_threshold,
         use_class_aware_nms=not args.no_class_aware_nms,

@@ -22,6 +22,13 @@ from .prompts import get_prompts
 from .stage_one import EvalReport
 
 
+def _pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 class FlaxOwlViTDetector:
     """detect(image, texts) -> (boxes xyxy in [0,1], scores, labels)."""
 
@@ -41,6 +48,23 @@ class FlaxOwlViTDetector:
             lambda params, pixels, ids: self.model.apply(
                 {"params": params}, pixels, ids))
 
+        import jax.numpy as jnp
+
+        from ..nn import owlvit as owlvit_lib
+
+        def _apply_u8(params, pixels_u8, ids, wy, wx):
+            # Resize + normalize ON DEVICE: the batched path uploads uint8
+            # at SOURCE resolution (0.79 MB per 512² image instead of
+            # 1.77 MB at 768², 1 B/px instead of 4) — uploads ride the
+            # chip tunnel, whose bandwidth dominates this whole path. The
+            # resize replicates PIL BICUBIC (pil_bicubic_weights) to <=2
+            # LSB, so results track the per-image PIL path.
+            x = owlvit_lib.device_resize_bicubic(pixels_u8, wy, wx) / 255.0
+            x = (x - owlvit_lib.CLIP_MEAN) / owlvit_lib.CLIP_STD
+            return self.model.apply({"params": params}, x, ids)
+
+        self._apply_batch = jax.jit(_apply_u8)
+
     @classmethod
     def from_checkpoint(cls, path: str):
         from ..nn import owlvit as owlvit_lib
@@ -55,27 +79,20 @@ class FlaxOwlViTDetector:
             tokenizer = toklib.ClipBpeTokenizer.from_dir(tok_dir)
         return cls(params, config, tokenizer)
 
-    def __call__(self, image: np.ndarray, texts: list[str]):
-        from ..nn import owlvit as owlvit_lib
-
-        pixels = owlvit_lib.preprocess_image(image, self.config.image_size)
+    def _encode(self, texts: list[str], pad_queries: int) -> np.ndarray:
+        """Tokenize a query list, padded to pad_queries rows of empty ids."""
         max_len = self.config.text.max_length
         ids = np.asarray(
             [self.tokenizer.encode(t, pad_to=max_len)[:max_len] for t in texts],
             np.int32,
         ) % self.config.text.vocab_size
-        # Bucket the query axis (next power of two, padded with empty
-        # queries) so the benchmark's varying per-prompt query counts share
-        # compiled variants; padded columns are sliced off below.
-        n_q = len(texts)
-        b_q = 1
-        while b_q < n_q:
-            b_q *= 2
-        if b_q > n_q:
-            ids = np.pad(ids, ((0, b_q - n_q), (0, 0)))
-        boxes, logits = self._apply(self.params, pixels, ids)
-        boxes = np.asarray(boxes[0])            # (N, 4) cxcywh [0,1]
-        logits = np.asarray(logits[0])[:, :n_q]
+        if pad_queries > len(texts):
+            ids = np.pad(ids, ((0, pad_queries - len(texts)), (0, 0)))
+        return ids
+
+    @staticmethod
+    def _post(boxes: np.ndarray, logits: np.ndarray):
+        """(N, 4) cxcywh + (N, Q) logits -> (xyxy, scores, labels)."""
         probs = 1.0 / (1.0 + np.exp(-logits))   # (N, Q)
         scores = probs.max(axis=-1)
         labels = probs.argmax(axis=-1)
@@ -86,6 +103,62 @@ class FlaxOwlViTDetector:
         # published protocol.
         xyxy = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
         return xyxy, scores, labels
+
+    def __call__(self, image: np.ndarray, texts: list[str]):
+        from ..nn import owlvit as owlvit_lib
+
+        pixels = owlvit_lib.preprocess_image(image, self.config.image_size)
+        # Bucket the query axis (next power of two, padded with empty
+        # queries) so the benchmark's varying per-prompt query counts share
+        # compiled variants; padded columns are sliced off below.
+        n_q = len(texts)
+        ids = self._encode(texts, _pow2(n_q))
+        boxes, logits = self._apply(self.params, pixels, ids)
+        return self._post(np.asarray(boxes[0]),
+                          np.asarray(logits[0])[:, :n_q])
+
+    def dispatch_batch(self, images: list[np.ndarray],
+                       texts_list: list[list[str]]):
+        """Dispatch one batched forward over B images, each with its OWN
+        query set (padded to the chunk's pow2 query bucket). Returns the
+        un-fetched device (boxes, logits) — jax dispatch is async, so the
+        caller can overlap host work (loading and scoring neighbouring
+        chunks) with this chunk's upload + compute; finalize_batch fetches.
+
+        Images ride the tunnel as uint8 at source resolution and are
+        bicubic-resized + normalized on device (the upload is the
+        bottleneck of the whole eval). Mixed source sizes in one chunk
+        (not produced by any generation driver) fall back to host PIL
+        resize with identity device matrices."""
+        from ..nn import owlvit as owlvit_lib
+
+        size = self.config.image_size
+        if len({img.shape for img in images}) == 1:
+            pixels = np.stack(images)
+        else:
+            pixels = np.stack(
+                [owlvit_lib.resize_image(img, size) for img in images])
+        wy = owlvit_lib.pil_bicubic_weights(pixels.shape[1], size)
+        wx = owlvit_lib.pil_bicubic_weights(pixels.shape[2], size)
+        b_q = _pow2(max(len(t) for t in texts_list))
+        ids = np.stack([self._encode(t, b_q) for t in texts_list])
+        return self._apply_batch(self.params, pixels, ids, wy, wx)
+
+    def finalize_batch(self, dispatched, texts_list: list[list[str]]):
+        """Fetch a dispatch_batch result -> per-image (xyxy, scores,
+        labels) with query pads sliced to each image's real count."""
+        boxes, logits = dispatched
+        boxes = np.asarray(boxes)
+        logits = np.asarray(logits)
+        return [self._post(boxes[i], logits[i][:, :len(t)])
+                for i, t in enumerate(texts_list)]
+
+    def detect_batch(self, images: list[np.ndarray],
+                     texts_list: list[list[str]]):
+        """One batched forward; results match per-image __call__ (<=2 LSB
+        resize deviation aside — see pil_bicubic_weights)."""
+        return self.finalize_batch(
+            self.dispatch_batch(images, texts_list), texts_list)
 
 
 def eval_prompt(
@@ -100,8 +173,24 @@ def eval_prompt(
     """Score one generated image against its benchmark prompt."""
     texts, eval_info = get_eval_info_from_prompt(prompt)
     text = texts[0]
+    detections = detector(image, text)
+    return _score_detections(
+        prompt, text, eval_info, detections, np.asarray(image).shape[:2],
+        score_threshold, nms_threshold, use_class_aware_nms, verbose)
 
-    boxes, scores, labels = detector(image, text)
+
+def _score_detections(
+    prompt: str,
+    text: list[str],
+    eval_info: dict,
+    detections,
+    image_hw: tuple[int, int],
+    score_threshold: float = 0.15,
+    nms_threshold: float = 0.15,
+    use_class_aware_nms: bool = True,
+    verbose: bool = False,
+) -> tuple[str, bool]:
+    boxes, scores, labels = detections
     keep = scores >= score_threshold
     boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
 
@@ -114,7 +203,7 @@ def eval_prompt(
 
     # Predicate box space: the image's own pixel size (reference
     # eval.py:130,168 — equals the 512 LLM canvas for production images).
-    height, width = np.asarray(image).shape[:2]
+    height, width = image_hw
     det_boxes = [
         {"name": text[int(label)],
          "bounding_box": to_gen_box_format(box, width, height),
@@ -136,16 +225,25 @@ def evaluate_run(
     repeats: int = 1,
     run_start_ind: int = 0,
     verbose: bool = False,
+    eval_batch: int = 8,
     **eval_kwargs,
 ) -> EvalReport:
     """Walk a generation run directory ({ind}/img_{r}.png) and score every
     image (reference owl_vit_eval.py:61-102). run_start_ind offsets the
     directory index relative to the prompt index (owl_vit_eval.py:22,61),
-    for scoring a run produced with --skip_first_prompts."""
+    for scoring a run produced with --skip_first_prompts.
+
+    When the detector exposes detect_batch (FlaxOwlViTDetector), images are
+    scored in eval_batch-sized chunks riding ONE jitted forward each — the
+    reference evaluates strictly one image at a time; the last chunk is
+    padded by repeating its final job (pad results discarded) so every
+    chunk shares one compiled (B, Q-bucket) variant. Chunks are
+    double-buffered (dispatch k+1, then fetch+score k) so host work hides
+    under the tunnel upload."""
     from PIL import Image
 
     prompts = get_prompts(prompt_type, model=model)
-    report = EvalReport()
+    jobs = []  # (prompt, image-path)
     for ind, prompt in enumerate(prompts):
         if isinstance(prompt, list):
             prompt = prompt[0]
@@ -161,8 +259,50 @@ def evaluate_run(
                 if verbose:
                     print(f"missing image: {path}")
                 continue
+            jobs.append((prompt, path))
+
+    report = EvalReport()
+    batched = eval_batch > 1 and hasattr(detector, "detect_batch")
+    if not batched:
+        for prompt, path in jobs:
             image = np.asarray(Image.open(path).convert("RGB"))
             eval_type, success = eval_prompt(prompt, image, detector,
                                              verbose=verbose, **eval_kwargs)
             report.record(eval_type, success)
+        return report
+
+    # Double-buffered: dispatch chunk k+1's forward (async upload+compute)
+    # BEFORE fetching and scoring chunk k, so host PNG decode and predicate
+    # scoring overlap the tunnel transfer instead of serializing with it.
+    can_pipeline = hasattr(detector, "dispatch_batch")
+    pending = None  # (chunk, n_real, hw_list, texts_list, infos, device_out)
+
+    def _drain(p):
+        chunk, n_real, hw_list, texts_list, infos, out = p
+        detections = (detector.finalize_batch(out, texts_list)
+                      if can_pipeline else out)
+        for i in range(n_real):
+            eval_type, success = _score_detections(
+                chunk[i][0], texts_list[i], infos[i], detections[i],
+                hw_list[i], verbose=verbose, **eval_kwargs)
+            report.record(eval_type, success)
+
+    for start in range(0, len(jobs), eval_batch):
+        chunk = jobs[start : start + eval_batch]
+        n_real = len(chunk)
+        chunk = chunk + [chunk[-1]] * (eval_batch - n_real)
+        images, texts_list, infos = [], [], []
+        for prompt, path in chunk:
+            images.append(np.asarray(Image.open(path).convert("RGB")))
+            texts, eval_info = get_eval_info_from_prompt(prompt)
+            texts_list.append(texts[0])
+            infos.append(eval_info)
+        hw_list = [img.shape[:2] for img in images]
+        out = (detector.dispatch_batch(images, texts_list) if can_pipeline
+               else detector.detect_batch(images, texts_list))
+        if pending is not None:
+            _drain(pending)
+        pending = (chunk, n_real, hw_list, texts_list, infos, out)
+    if pending is not None:
+        _drain(pending)
     return report

@@ -11,7 +11,8 @@ utilization). Here G independent prompts ride the pipeline together:
 - the G overall passes run as one batched pass: per-image frozen masks and
   trajectories, per-image GLIGEN grounding, and *batched* CA-energy guidance
   (per-image loss vector; converged images freeze inside the while_loop —
-  semantics identical to G sequential runs).
+  numerically equivalent to G sequential runs; see run_lmd_plus_batch's
+  docstring for the exact guarantee).
 
 Both flagship regimes are served: `run_lmd_plus_batch` (GLIGEN adapters,
 per-box guidance off) and `run_lmd_batch` (training-free, per-box guidance

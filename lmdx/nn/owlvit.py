@@ -12,6 +12,7 @@ transformer blocks.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import flax.linen as nn
@@ -152,16 +153,26 @@ class OwlViT(nn.Module):
         return self.merge_layer_norm(patches)
 
     def __call__(self, pixels: jnp.ndarray, input_ids: jnp.ndarray):
-        """pixels (B, S, S, 3) in CLIP normalization; input_ids (Q, L).
+        """pixels (B, S, S, 3) in CLIP normalization; input_ids (Q, L) for
+        one query set shared across the batch, or (B, Q, L) for per-image
+        query sets (the batched eval path — each benchmark prompt carries
+        its own query texts).
 
         Returns (pred_boxes (B, N, 4) cxcywh in [0,1], logits (B, N, Q)).
         """
         image_embeds = self.image_embedder(pixels)
-        _, pooled = self.text(input_ids,
-                              eos_token_id=self.config.text.vocab_size - 1)
-        query = self.text_projection(pooled)[None].astype(jnp.float32)
-        query = jnp.broadcast_to(
-            query, (pixels.shape[0], *query.shape[1:]))
+        eos = self.config.text.vocab_size - 1
+        if input_ids.ndim == 3:
+            b, qn, length = input_ids.shape
+            _, pooled = self.text(input_ids.reshape(b * qn, length),
+                                  eos_token_id=eos)
+            query = (self.text_projection(pooled)
+                     .reshape(b, qn, -1).astype(jnp.float32))
+        else:
+            _, pooled = self.text(input_ids, eos_token_id=eos)
+            query = self.text_projection(pooled)[None].astype(jnp.float32)
+            query = jnp.broadcast_to(
+                query, (pixels.shape[0], *query.shape[1:]))
 
         logits = self.class_head(image_embeds, query)
         boxes = self.box_head(image_embeds)
@@ -173,13 +184,65 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
-def preprocess_image(image: np.ndarray, size: int) -> np.ndarray:
-    """uint8 (H, W, 3) -> normalized (1, size, size, 3) float32."""
+def resize_image(image: np.ndarray, size: int) -> np.ndarray:
+    """uint8 (H, W, 3) -> uint8 (size, size, 3), PIL BICUBIC (the protocol's
+    resize — transformers OwlViTProcessor; normalization happens on device
+    in the batched path so only 1 byte/px crosses the chip tunnel)."""
     from PIL import Image as PILImage
 
     img = PILImage.fromarray(image).convert("RGB").resize(
         (size, size), PILImage.BICUBIC)
-    x = np.asarray(img, np.float32) / 255.0
+    return np.asarray(img, np.uint8)
+
+
+@functools.lru_cache(maxsize=16)
+def pil_bicubic_weights(in_size: int, out_size: int) -> np.ndarray:
+    """One-axis PIL BICUBIC resample matrix (out_size, in_size).
+
+    Reproduces Pillow's precompute_coeffs + 8bpc normalization
+    (src/libImaging/Resample.c): Keys cubic a=-0.5, support 2 scaled by
+    the downscale factor, window [center-support+0.5, center+support+0.5),
+    weights normalized then quantized to 22 fixed-point bits. A matmul by
+    this matrix followed by round-half-up + clip to [0,255] reproduces one
+    PIL uint8 resample pass to <=1 LSB (f32 summation can land a hair off
+    PIL's int32 accumulator only when the true value sits exactly on a
+    rounding boundary)."""
+    a = -0.5
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    ss = 1.0 / filterscale
+    m = np.zeros((out_size, in_size), np.float64)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        t = np.abs((np.arange(xmin, xmax) - center + 0.5) * ss)
+        w = np.where(
+            t < 1.0, ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0,
+            np.where(t < 2.0, a * (((t - 5.0) * t + 8.0) * t - 4.0), 0.0))
+        w = w / w.sum()
+        m[xx, xmin:xmax] = np.round(w * (1 << 22)) / (1 << 22)
+    return np.ascontiguousarray(m, np.float32)
+
+
+def device_resize_bicubic(x_u8, wy, wx):
+    """(B, H, W, 3) uint8 -> (B, S, S, 3) float32 in [0, 255] with PIL
+    BICUBIC semantics, on device: horizontal then vertical separable pass
+    (Pillow's order), each followed by round-half-up + clip — replicating
+    the uint8 intermediate store that clamps bicubic overshoot between
+    passes (skipping it diverges from PIL by up to 25/255 at hard edges)."""
+    hi = jax.lax.Precision.HIGHEST  # TPU f32 matmul otherwise runs bf16 passes
+    x = x_u8.astype(jnp.float32)
+    t = jnp.einsum("bhwc,ow->bhoc", x, wx, precision=hi)
+    t = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0)
+    t = jnp.einsum("bhoc,ph->bpoc", t, wy, precision=hi)
+    return jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0)
+
+
+def preprocess_image(image: np.ndarray, size: int) -> np.ndarray:
+    """uint8 (H, W, 3) -> normalized (1, size, size, 3) float32."""
+    x = resize_image(image, size).astype(np.float32) / 255.0
     return ((x - CLIP_MEAN) / CLIP_STD)[None]
 
 

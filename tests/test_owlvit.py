@@ -52,6 +52,86 @@ def test_detector_query_bucket_padding_is_inert(tiny_detector):
     np.testing.assert_allclose(scores3[mask2], scores2[mask2], atol=1e-5)
 
 
+def test_device_bicubic_resize_matches_pil():
+    """device_resize_bicubic with pil_bicubic_weights must reproduce PIL
+    BICUBIC (the stage-2 protocol's resize, transformers OwlViTProcessor)
+    to <=2 LSB on <1% of pixels — up- AND down-scale, the uint8
+    intermediate clamp included."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    for in_s, out_s in [(64, 96), (96, 64), (48, 48)]:
+        img = rng.integers(0, 256, (in_s, in_s, 3), np.uint8)
+        pil = np.asarray(
+            Image.fromarray(img).resize((out_s, out_s), Image.BICUBIC),
+            np.int32)
+        dev = np.asarray(owlvit_lib.device_resize_bicubic(
+            img[None],
+            owlvit_lib.pil_bicubic_weights(in_s, out_s),
+            owlvit_lib.pil_bicubic_weights(in_s, out_s)))[0].astype(np.int32)
+        diff = np.abs(pil - dev)
+        assert diff.max() <= 2, (in_s, out_s, diff.max())
+        assert (diff > 0).mean() < 0.01, (in_s, out_s, (diff > 0).mean())
+
+
+def test_detect_batch_device_resize_tracks_pil_path(tiny_detector):
+    """detect_batch on NON-model-size images resizes on device (uint8
+    source upload); results must track the sequential path's host PIL
+    resize within the <=2 LSB input deviation's downstream effect."""
+    rng = np.random.default_rng(3)
+    images = [rng.integers(0, 255, (96, 96, 3), np.uint8) for _ in range(2)]
+    texts_list = [["a cat"], ["a dog", "a car"]]
+    batched = tiny_detector.detect_batch(images, texts_list)
+    for img, texts, (bb, bs, bl) in zip(images, texts_list, batched):
+        rb, rs, rl = tiny_detector(img, texts)
+        np.testing.assert_allclose(bb, rb, atol=5e-3)
+        np.testing.assert_allclose(bs, rs, atol=5e-3)
+        gap_ok = np.abs(np.sort(rs)[-1] - rs) > 1e-3  # skip near-tie argmax
+        np.testing.assert_array_equal(bl[gap_ok], rl[gap_ok])
+
+
+def test_detect_batch_matches_sequential(tiny_detector):
+    """detect_batch (one forward, per-image query sets, uint8 upload +
+    on-device normalization) must reproduce the per-image path: same
+    host-side resize, same float math, query pads sliced off."""
+    rng = np.random.default_rng(1)
+    images = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(3)]
+    texts_list = [["a photo of a cat"],
+                  ["a photo of a dog", "a photo of a car"],
+                  ["a cat", "a dog", "a bird"]]
+    batched = tiny_detector.detect_batch(images, texts_list)
+    assert len(batched) == 3
+    for img, texts, (bb, bs, bl) in zip(images, texts_list, batched):
+        rb, rs, rl = tiny_detector(img, texts)
+        assert bs.shape == rs.shape  # query pads sliced to the real count
+        np.testing.assert_allclose(bb, rb, atol=1e-5)
+        np.testing.assert_allclose(bs, rs, atol=1e-5)
+        np.testing.assert_array_equal(bl, rl)
+
+
+def test_evaluate_run_batched_matches_sequential(tiny_detector, tmp_path):
+    """evaluate_run with eval_batch>1 (chunked detect_batch, last chunk
+    padded by repeating its final job) scores exactly the jobs the
+    sequential reference loop scores, in the same order, with the same
+    results — including a missing image that must be skipped."""
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    for ind in (0, 1, 3, 4):  # prompt 2's image is missing
+        d = tmp_path / str(ind)
+        d.mkdir()
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+                        "RGB").save(d / "img_0.png")
+
+    kwargs = dict(prompt_type="lmd", model="gpt-4", num_prompts=5)
+    seq = eval_owl.evaluate_run(str(tmp_path), tiny_detector,
+                                eval_batch=1, **kwargs)
+    bat = eval_owl.evaluate_run(str(tmp_path), tiny_detector,
+                                eval_batch=3, **kwargs)
+    assert seq.summary() == bat.summary()
+    assert "4" in seq.summary().splitlines()[-1]  # 4 images scored
+
+
 def test_eval_prompt_with_planted_detections():
     """A fake detector with planted boxes must drive the predicates exactly."""
 
