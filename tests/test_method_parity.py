@@ -179,7 +179,7 @@ class _ScriptedSegmenter:
         return mask[None].astype(bool), np.ones((1,), np.float32)
 
 
-def _stub_decode_latents(bundle, latents):
+def _stub_decode_latents(bundle, latents, to_host=True):
     """lmdx-side twin of reference pipelines.decode over _StubVAE
     (pipelines.py:116-127 with vae.decode = z[:, :3])."""
     z = np.asarray(latents, np.float32) / 0.18215
