@@ -26,6 +26,7 @@ from PIL import Image
 
 from .. import methods as methods_lib
 from ..eval.prompts import get_prompts
+from ..methods import base as method_base
 from ..text.cache import LayoutCache, cache_filename
 from ..text.parser import ParseError, filter_boxes, parse_layout_response
 
@@ -74,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="batched mode: keep prompt order instead of "
                              "grouping jobs by box count (more compiled "
                              "shape variants)")
+    parser.add_argument("--no-pipeline-batches", action="store_true",
+                        help="batched mode: disable cross-batch software "
+                             "pipelining (defer each batch's image fetch + "
+                             "PNG save until after the next batch is "
+                             "dispatched). Outputs are byte-identical either "
+                             "way; pipelining shifts per-batch wall "
+                             "attribution by one batch, so disable it for "
+                             "compile-accounting runs fed to "
+                             "scripts/analyze_benchrun.py")
     parser.add_argument("--max-compiled-variants", default=0, type=int,
                         help="batched mode: cap the number of distinct "
                              "compiled batch-shape classes by padding "
@@ -646,26 +656,21 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
               f"{args.max_compiled_variants}, position floor "
               f"{position_floor})")
 
-    print(f"[batched] {len(jobs)} jobs, batch size {args.image_batch_size}")
+    pipeline = not args.no_pipeline_batches
+    print(f"[batched] {len(jobs)} jobs, batch size {args.image_batch_size}"
+          + (" (pipelined)" if pipeline else ""))
     done = 0
-    for group, pads in zip(groups, pad_plan):
-        n_real = sum(1 for j in group if not j.get("pad"))
-        box_counts = [len(j["spec"]["gen_boxes"]) for j in group]
-        t_batch = time.perf_counter()
-        try:
-            results = run_batch_fn(
-                [j["spec"] for j in group], bundle,
-                bg_seeds=[j["bg_seed"] for j in group],
-                fg_seed_starts=[j["fg_seed_start"] for j in group],
-                segmenter=segmenter, **(pads or {}), **run_kwargs)
-        except KeyboardInterrupt:
-            raise
-        except Exception as e:
-            print(f"***Batch error: {e}***")
-            traceback.print_exc()
-            if args.no_continue_on_error:
-                raise
-            continue
+    t_last = time.perf_counter()
+    pending = None   # (group, results, pads, box_counts, n_real)
+
+    def flush(entry):
+        """Fetch + save one batch's images. Under pipelining this runs
+        AFTER the next batch's chip work is dispatched, so the tunnel fetch
+        and PNG encoding overlap the scans instead of draining the chip
+        queue."""
+        nonlocal done, t_last
+        group, results, pads, box_counts, n_real = entry
+        method_base.finalize_results(results)  # one fetch; no-op when eager
         for job, result in zip(group, results):
             if job.get("pad"):
                 continue
@@ -686,7 +691,10 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
         # (first batch of a shape class) from steady-state throughput.
         # boxes= lists the full (pad-inclusive) batch — it names the
         # compiled shape; img/s counts only the real (saved) images.
-        dt = time.perf_counter() - t_batch
+        # Pipelined walls lag one batch (a batch is flushed after the next
+        # one dispatches); sums still equal the run wall.
+        dt = time.perf_counter() - t_last
+        t_last = time.perf_counter()
         done += n_real
         # pad=... names the EFFECTIVE compiled class under a compile-budget
         # plan — without it a log analyzer keys batches on their raw shapes
@@ -697,6 +705,40 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
         print(f"[batched] {done}/{len(jobs)} "
               f"done  boxes={box_counts}{pad_note} {dt:.1f}s "
               f"({n_real / dt:.3f} img/s)", flush=True)
+
+    for group, pads in zip(groups, pad_plan):
+        n_real = sum(1 for j in group if not j.get("pad"))
+        box_counts = [len(j["spec"]["gen_boxes"]) for j in group]
+        failed = False
+        try:
+            results = run_batch_fn(
+                [j["spec"] for j in group], bundle,
+                bg_seeds=[j["bg_seed"] for j in group],
+                fg_seed_starts=[j["fg_seed_start"] for j in group],
+                segmenter=segmenter, defer_fetch=pipeline,
+                **(pads or {}), **run_kwargs)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            print(f"***Batch error: {e}***")
+            traceback.print_exc()
+            if args.no_continue_on_error:
+                if pending is not None:  # don't lose the finished batch
+                    flush(pending)
+                raise
+            failed = True
+        if pending is not None:
+            flush(pending)
+            pending = None
+        if failed:
+            continue
+        entry = (group, results, pads, box_counts, n_real)
+        if pipeline:
+            pending = entry
+        else:
+            flush(entry)
+    if pending is not None:
+        flush(pending)
     return 0
 
 

@@ -77,6 +77,7 @@ def run_grounded_batch(
     pad_boxes_to: int | None = None,
     pad_objs_to: int | None = None,
     pad_positions_to: int | None = None,
+    defer_fetch: bool = False,
 ) -> list[base.GenerationResult]:
     """pad_boxes_to / pad_objs_to / pad_positions_to: compile-budget floors.
     A serving driver that knows its whole workload can merge batch shape
@@ -88,7 +89,14 @@ def run_grounded_batch(
     Outputs are numerically equivalent, not bitwise: pad rows are sliced
     away before anything user-visible and floored buckets are masked, but
     floored bucket shapes change topk sort shapes and float reduction
-    order — verified to pixel tolerance (tests/test_methods.py)."""
+    order — verified to pixel tolerance (tests/test_methods.py).
+
+    defer_fetch=True leaves the final decoded images ON DEVICE: each
+    result's .image is a base.ImageRef and the caller resolves them with
+    base.finalize_results AFTER dispatching the next batch — cross-batch
+    software pipelining that keeps the chip queue full through the fetch +
+    PNG-save + host-prep gap between batches (byte-identical outputs,
+    tests/test_methods.py)."""
     cfg = bundle.config
     H, W = cfg.latent_height, cfg.latent_width
     latent_hw = (H, W)
@@ -490,14 +498,18 @@ def run_grounded_batch(
         num_frozen_steps=frozen_steps,
         guidance_batched=True, solver=p.scheduler,
     )
-    final_images = base.decode_latents(bundle, out.latents)
+    final_images = base.decode_latents(bundle, out.latents,
+                                       to_host=not defer_fetch)
+    deferred = base.DeferredImages(final_images) if defer_fetch else None
 
     results = []
     for gi, aux in enumerate(results_aux):
         so_imgs = ([so_images[i] for i in aux["so_image_ids"]]
                    if return_so_images else [])
         results.append(base.GenerationResult(
-            image=final_images[gi], so_img_list=so_imgs,
+            image=(base.ImageRef(deferred, gi) if defer_fetch
+                   else final_images[gi]),
+            so_img_list=so_imgs,
             aux={"frozen_mask": np.asarray(aux["frozen_mask"]),
                  "foreground_indices": aux["foreground_indices"],
                  "masks": aux["masks"]}))
@@ -700,6 +712,7 @@ def run_lmd_batch(specs, bundle, segmenter=None, **overrides):
     pad_boxes_to = overrides.pop("pad_boxes_to", None)
     pad_objs_to = overrides.pop("pad_objs_to", None)
     pad_positions_to = overrides.pop("pad_positions_to", None)
+    defer_fetch = overrides.pop("defer_fetch", False)
     params = GroundedParams(**{**defaults, **overrides})
     return run_grounded_batch(specs, bundle, params, bg_seeds=bg_seeds,
                               fg_seed_starts=fg_seed_starts,
@@ -707,7 +720,8 @@ def run_lmd_batch(specs, bundle, segmenter=None, **overrides):
                               return_so_images=return_so_images,
                               pad_boxes_to=pad_boxes_to,
                               pad_objs_to=pad_objs_to,
-                              pad_positions_to=pad_positions_to)
+                              pad_positions_to=pad_positions_to,
+                              defer_fetch=defer_fetch)
 
 
 def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
@@ -733,6 +747,7 @@ def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
     pad_boxes_to = overrides.pop("pad_boxes_to", None)
     pad_objs_to = overrides.pop("pad_objs_to", None)
     pad_positions_to = overrides.pop("pad_positions_to", None)
+    defer_fetch = overrides.pop("defer_fetch", False)
     params = GroundedParams(**{**defaults, **overrides})
     return run_grounded_batch(specs, bundle, params, bg_seeds=bg_seeds,
                               fg_seed_starts=fg_seed_starts,
@@ -740,4 +755,5 @@ def run_lmd_plus_batch(specs, bundle, segmenter=None, **overrides):
                               return_so_images=return_so_images,
                               pad_boxes_to=pad_boxes_to,
                               pad_objs_to=pad_objs_to,
-                              pad_positions_to=pad_positions_to)
+                              pad_positions_to=pad_positions_to,
+                              defer_fetch=defer_fetch)

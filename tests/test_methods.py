@@ -250,6 +250,38 @@ def test_batched_matches_sequential_lmd_plus(bundle):
         assert np.array_equal(s.aux["frozen_mask"], b.aux["frozen_mask"])
 
 
+def test_batched_defer_fetch_matches_eager(bundle):
+    """Cross-batch pipelining (defer_fetch=True + finalize_results after
+    dispatching the next batch) is pure dispatch reordering: images must be
+    byte-identical to the eager path (cli/generate.py run_batched,
+    bench.py)."""
+    from lmdx.methods import base as method_base
+    from lmdx.methods.batch import run_lmd_plus_batch
+
+    overrides = {k: v for k, v in GROUNDED_OVERRIDES.items()
+                 if k != "max_index_step"}
+    spec2 = {"prompt": "A park with a green tree",
+             "gen_boxes": [("a green tree", (200, 100, 150, 250))],
+             "bg_prompt": "A park", "extra_neg_prompt": ""}
+
+    eager = [run_lmd_plus_batch([SPEC], bundle, bg_seeds=[31], **overrides),
+             run_lmd_plus_batch([spec2], bundle, bg_seeds=[32], **overrides)]
+
+    # The serving-driver schedule: dispatch batch k+1, THEN resolve batch k.
+    d0 = run_lmd_plus_batch([SPEC], bundle, bg_seeds=[31],
+                            defer_fetch=True, **overrides)
+    assert isinstance(d0[0].image, method_base.ImageRef)
+    d1 = run_lmd_plus_batch([spec2], bundle, bg_seeds=[32],
+                            defer_fetch=True, **overrides)
+    method_base.finalize_results(d0)
+    method_base.finalize_results(d1)
+    assert isinstance(d0[0].image, np.ndarray)
+
+    for e, d in zip(eager, [d0, d1]):
+        assert np.array_equal(e[0].image, d[0].image)
+        assert np.array_equal(e[0].aux["frozen_mask"], d[0].aux["frozen_mask"])
+
+
 def test_batched_matches_sequential_lmd(bundle):
     """Training-free LMD through the multi-image serving path — per-box CA
     guidance rides the batched guidance loop — must reproduce the
