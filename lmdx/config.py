@@ -113,6 +113,11 @@ class SDConfig:
     # (models.py:29-39, lmd_plus.py:227).
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Integrator the checkpoint's repo scheduler config names: "ddim" for the
+    # SD-family bundles the reference selects (models/models.py:41-53), and
+    # "euler" for the SDXL refiner (its scheduler_config is EulerDiscrete —
+    # formerly PARITY.md's one known integrator residual).
+    default_scheduler: str = "ddim"
 
     @property
     def vae_scale(self) -> int:
@@ -207,6 +212,7 @@ def sdxl_refiner() -> SDConfig:
         text_encoder_dir="text_encoder_2",
         height=1024,
         width=1024,
+        default_scheduler="euler",
     )
 
 

@@ -29,11 +29,16 @@ import numpy as np
 class Schedule(NamedTuple):
     """Static description of one sampling run."""
 
-    timesteps: jnp.ndarray        # (T,) int32, descending
-    prev_timesteps: jnp.ndarray   # (T,) int32; <0 means "final" step
+    timesteps: jnp.ndarray        # (T,) int32 descending (float32 for euler)
+    prev_timesteps: jnp.ndarray   # (T,); <0 means "final" step
     alphas_cumprod: jnp.ndarray   # (num_train_timesteps,) float32
     final_alpha_cumprod: jnp.ndarray  # scalar float32
     init_noise_sigma: float = 1.0
+    # Karras-convention noise levels on the inference grid, (T+1,) float32
+    # with a trailing 0.0 — present only for solver="euler", whose samples
+    # live in sigma-space (x = x0 + sigma * noise) rather than the
+    # sqrt(alpha)-scaled space of DDIM/DPM-Solver.
+    sigmas: jnp.ndarray | None = None
 
     @property
     def num_steps(self) -> int:
@@ -76,6 +81,29 @@ def dpm_timestep_grid(num_inference_steps: int,
     )
 
 
+def euler_timestep_grid(num_inference_steps: int,
+                        num_train_timesteps: int = 1000) -> np.ndarray:
+    """EulerDiscrete's grid per diffusers 0.18 (the version the reference
+    pins): `linspace(0, T-1, n)` reversed, kept as FLOATS — the UNet's
+    timestep embedding is evaluated at fractional t, and sigma is linearly
+    interpolated between integer train steps. (The refiner checkpoint's
+    config also names timestep_spacing="leading", but diffusers 0.18
+    predates that key and ignores it — parity follows the code as run.)"""
+    return np.linspace(
+        0, num_train_timesteps - 1, num_inference_steps, dtype=np.float64
+    )[::-1].copy()
+
+
+def euler_sigmas(alphas_cumprod: np.ndarray,
+                 timesteps: np.ndarray) -> np.ndarray:
+    """Interpolated Karras-convention sigmas sqrt((1-acp)/acp) at (possibly
+    fractional) `timesteps`, plus the trailing 0.0 the final step targets
+    (diffusers 0.18 EulerDiscreteScheduler.set_timesteps)."""
+    full = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
+    sig = np.interp(timesteps, np.arange(len(full)), full)
+    return np.concatenate([sig, [0.0]]).astype(np.float32)
+
+
 def fast_schedule_timesteps(timesteps: np.ndarray, fast_after_steps: int,
                             fast_rate: int) -> np.ndarray:
     """Truncate a timestep grid: full resolution up to `fast_after_steps`,
@@ -96,6 +124,18 @@ def make_schedule(
 ) -> Schedule:
     if alphas_cumprod is None:
         alphas_cumprod = make_alphas_cumprod(num_train_timesteps)
+    if solver == "euler":
+        timesteps = euler_timestep_grid(num_inference_steps, num_train_timesteps)
+        sigmas = euler_sigmas(alphas_cumprod, timesteps)
+        prev = np.concatenate([timesteps[1:], [0.0]])
+        return Schedule(
+            timesteps=jnp.asarray(timesteps, dtype=jnp.float32),
+            prev_timesteps=jnp.asarray(prev, dtype=jnp.float32),
+            alphas_cumprod=jnp.asarray(alphas_cumprod, dtype=jnp.float32),
+            final_alpha_cumprod=jnp.asarray(alphas_cumprod[0], dtype=jnp.float32),
+            init_noise_sigma=float(np.sqrt(sigmas.max() ** 2 + 1.0)),
+            sigmas=jnp.asarray(sigmas),
+        )
     if solver == "dpmpp_2m":
         timesteps = dpm_timestep_grid(num_inference_steps, num_train_timesteps)
     else:
@@ -226,6 +266,35 @@ def dpmpp_2m_step(schedule: Schedule, eps: jnp.ndarray, t: jnp.ndarray,
     use_first = jnp.logical_or(prev_t < -500, force_first_order)
     out = jnp.where(use_first, first_order, second_order)
     return out.astype(sample.dtype), x0.astype(sample.dtype)
+
+
+def euler_step(eps: jnp.ndarray, sigma: jnp.ndarray, sigma_next: jnp.ndarray,
+               sample: jnp.ndarray) -> jnp.ndarray:
+    """One deterministic Euler update in sigma-space (diffusers 0.18
+    EulerDiscreteScheduler.step with the default s_churn=0 — the SDXL
+    refiner checkpoint's scheduler, closing PARITY's former integrator
+    residual). `sample` is x0 + sigma*noise (UNSCALED — callers divide the
+    UNet input by sqrt(sigma^2+1), see `euler_scale_model_input`); for
+    epsilon prediction the derivative is exactly eps, so
+    x_{i+1} = x_i + eps * (sigma_{i+1} - sigma_i)."""
+    out = (sample.astype(jnp.float32)
+           + eps.astype(jnp.float32) * (sigma_next - sigma))
+    return out.astype(sample.dtype)
+
+
+def euler_scale_model_input(sample: jnp.ndarray,
+                            sigma: jnp.ndarray) -> jnp.ndarray:
+    """EulerDiscrete's UNet input scaling: x / sqrt(sigma^2 + 1) (the model
+    was trained on variance-preserving inputs; sigma-space samples are not)."""
+    return sample / jnp.sqrt(sigma * sigma + 1.0)
+
+
+def euler_add_noise(x0: jnp.ndarray, noise: jnp.ndarray,
+                    sigma: jnp.ndarray) -> jnp.ndarray:
+    """Forward noising in sigma-space: x = x0 + sigma * noise (diffusers
+    EulerDiscreteScheduler.add_noise — img2img entry at the strength point)."""
+    out = x0.astype(jnp.float32) + noise.astype(jnp.float32) * sigma
+    return out.astype(x0.dtype)
 
 
 def dpm_lower_order_mask(num_steps: int) -> np.ndarray:

@@ -55,6 +55,7 @@ def img2img(
     guidance_scale: float = 5.0,
     seed: int = 0,
     return_latents: bool = False,
+    scheduler: str | None = None,
 ) -> np.ndarray:
     """Noise the encoded image at the strength point of the grid and denoise
     the remaining steps (diffusers XL img2img semantics — guidance_scale
@@ -62,9 +63,16 @@ def img2img(
     passing one, sdxl_refinement.py:29). Trajectory-pinned against the shim
     transcription of the pipeline the reference calls
     (tests/test_pipeline_parity.py::test_sdxl_refiner_img2img_matches_shim).
+
+    scheduler: integrator for the denoise tail; None uses the bundle's
+    checkpoint default (EulerDiscrete for the SDXL refiner — the scheduler
+    its repo config names; "ddim" for SD-family bundles). Both integrators
+    are pinned against the shim, parametrized in the parity test above.
     return_latents: skip the VAE decode and return the final (1,h,w,4)
     latents (parity tests compare latents)."""
-    schedule = sched.make_schedule(num_inference_steps)
+    scheduler = scheduler or getattr(
+        bundle.config, "default_scheduler", "ddim")
+    schedule = sched.make_schedule(num_inference_steps, solver=scheduler)
     start = max(num_inference_steps - int(num_inference_steps * strength), 0)
     start = min(start, num_inference_steps - 1)
 
@@ -74,13 +82,20 @@ def img2img(
             np.array(image.shape[:2]) // bundle.config.vae_scale) + (4,)),
     )
     noise = latents_lib.noise_from_seed(seed, latents0.shape)
-    latents = sched.add_noise(schedule, latents0, noise, schedule.timesteps[start])
+    if scheduler == "euler":
+        # Euler samples live in sigma-space: x = x0 + sigma * noise.
+        latents = sched.euler_add_noise(latents0, noise,
+                                        schedule.sigmas[start])
+    else:
+        latents = sched.add_noise(schedule, latents0, noise,
+                                  schedule.timesteps[start])
 
     tail = sched.Schedule(
         timesteps=schedule.timesteps[start:],
         prev_timesteps=schedule.prev_timesteps[start:],
         alphas_cumprod=schedule.alphas_cumprod,
         final_alpha_cumprod=schedule.final_alpha_cumprod,
+        sigmas=(schedule.sigmas[start:] if scheduler == "euler" else None),
     )
     cond, cond_pooled = runtime_models.encode_text(bundle, [prompt])
     uncond, uncond_pooled = runtime_models.encode_text(bundle, [negative_prompt])
@@ -106,7 +121,7 @@ def img2img(
 
     out = sample(bundle.unet, bundle.params["unet"], tail, latents,
                  text_embeddings, guidance_scale=guidance_scale,
-                 added_cond=added_cond)
+                 added_cond=added_cond, solver=scheduler)
     if return_latents:
         return np.asarray(out.latents)
     return base.decode_latents(bundle, out.latents)[0]

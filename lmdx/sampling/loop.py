@@ -140,6 +140,9 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
                 )
 
         latent_in = jnp.concatenate([latents, latents], axis=0)
+        if static.solver == "euler":
+            # Samples live in sigma-space; the UNet wants VP-scaled inputs.
+            latent_in = sched.euler_scale_model_input(latent_in, x["sigma"])
         eps, taps = apply_unet(
             unet, params, latent_in, t, text_embeddings,
             objs=objs_full, fuser_gate=fuser_gate,
@@ -153,6 +156,9 @@ def _run_segment(unet, static: SegmentStatic, params, schedule: sched.Schedule,
                 schedule, eps, t, prev_t, latents, prev_x0, prev_tc,
                 force_first_order=x["dpm_first"])
             prev_x0, prev_tc = x0, t
+        elif static.solver == "euler":
+            latents = sched.euler_step(eps, x["sigma"], x["sigma_next"],
+                                       latents)
         else:
             latents = sched.ddim_step(schedule, eps, t, prev_t, latents)
 
@@ -286,6 +292,13 @@ def sample(
         if solver == "dpmpp_2m":
             xs["dpm_first"] = jnp.asarray(
                 sched.dpm_lower_order_mask(num_steps)[start:stop])
+        elif solver == "euler":
+            assert not has_guidance, (
+                "energy guidance is defined on the VP-space solvers "
+                "(ddim/dpmpp_2m); the euler path serves the SDXL refiner, "
+                "which has none")
+            xs["sigma"] = schedule.sigmas[start:stop]
+            xs["sigma_next"] = schedule.sigmas[start + 1 : stop + 1]
         if seg_guidance:
             if isinstance(spec, boxdiff_lib.BoxDiffSpec):
                 xs["step_index"] = jnp.arange(start, stop, dtype=jnp.int32)

@@ -17,6 +17,7 @@ from .schedulers import (  # noqa: F401  (reference models/models.py:3)
     DDIMInverseScheduler,
     DDIMScheduler,
     DPMSolverMultistepScheduler,
+    EulerDiscreteScheduler,
 )
 from .pipeline_xl_img2img import (  # noqa: F401
     StableDiffusionXLImg2ImgPipeline,  # reference generation/sdxl_refinement.py:1

@@ -25,9 +25,10 @@ separately at module level), the initial noise is passed explicitly instead
 of drawn from `generator`, and output_type="latent" is the only output.
 
 Scheduler note: the stabilityai/stable-diffusion-xl-refiner-1.0 repo config
-defaults to EulerDiscrete; the shim pins the conditioning/strength/noising
-chain over the DDIM integrator that every other lmdx loop is pinned on
-(scheduler.order == 1 either way, so get_timesteps slicing is identical).
+defaults to EulerDiscrete — the parity test pins this pipeline over BOTH
+the shim EulerDiscreteScheduler (the checkpoint default, and lmdx's
+default for the refiner bundle) and DDIM (scheduler.order == 1 either way,
+so get_timesteps slicing is identical).
 """
 
 from __future__ import annotations

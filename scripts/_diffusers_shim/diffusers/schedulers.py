@@ -216,6 +216,97 @@ class DDIMInverseScheduler(ConfigMixin):
                                    pred_original_sample=pred_original_sample)
 
 
+class EulerDiscreteScheduler(ConfigMixin):
+    """Faithful torch transcription of diffusers-0.18 EulerDiscreteScheduler
+    (deterministic configuration: s_churn=0) — the scheduler the SDXL
+    refiner checkpoint's repo config names, and therefore what the
+    reference's `StableDiffusionXLImg2ImgPipeline.from_pretrained` builds
+    for generation/sdxl_refinement.py:10-20.
+
+    0.18-era behavior transcribed here: set_timesteps is an unconditional
+    float `linspace(0, T-1, n)[::-1]` (timestep_spacing did not exist yet;
+    the checkpoint config's "leading" key is ignored by 0.18, so parity
+    follows the code as run); sigmas = sqrt((1-acp)/acp) linearly
+    interpolated at those fractional timesteps with a trailing 0.0; the
+    sample lives in sigma-space (add_noise is x0 + sigma*noise), the UNet
+    input is scaled by 1/sqrt(sigma^2+1), and the deterministic step is
+    x + eps*(sigma_next - sigma) for epsilon prediction."""
+
+    @register_to_config
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.00085,
+        beta_end: float = 0.012,
+        beta_schedule: str = "scaled_linear",
+        prediction_type: str = "epsilon",
+    ):
+        if beta_schedule == "scaled_linear":
+            betas = (
+                torch.linspace(beta_start**0.5, beta_end**0.5,
+                               num_train_timesteps, dtype=torch.float32) ** 2
+            )
+        elif beta_schedule == "linear":
+            betas = torch.linspace(beta_start, beta_end, num_train_timesteps,
+                                   dtype=torch.float32)
+        else:
+            raise ValueError(beta_schedule)
+        self.alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+        self.num_inference_steps = None
+        self.timesteps = None
+        self.sigmas = None
+        self.order = 1
+
+    @property
+    def init_noise_sigma(self):
+        return (self.sigmas.max() ** 2 + 1) ** 0.5
+
+    def set_timesteps(self, num_inference_steps: int):
+        import numpy as np
+
+        cfg = self.config
+        self.num_inference_steps = num_inference_steps
+        timesteps = np.linspace(
+            0, cfg.num_train_timesteps - 1, num_inference_steps,
+            dtype=float)[::-1].copy()
+        full = np.array(
+            ((1.0 - self.alphas_cumprod) / self.alphas_cumprod) ** 0.5)
+        sigmas = np.interp(timesteps, np.arange(0, len(full)), full)
+        sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        self.sigmas = torch.from_numpy(sigmas)
+        self.timesteps = torch.from_numpy(timesteps)
+
+    def _step_index(self, timestep) -> int:
+        idx = (self.timesteps == timestep).nonzero()
+        return int(idx[0].item())
+
+    def scale_model_input(self, sample: torch.Tensor, timestep):
+        sigma = self.sigmas[self._step_index(timestep)]
+        return sample / ((sigma**2 + 1) ** 0.5)
+
+    def add_noise(self, original_samples: torch.Tensor, noise: torch.Tensor,
+                  timesteps: torch.Tensor) -> torch.Tensor:
+        step_indices = [self._step_index(t) for t in timesteps]
+        sigma = self.sigmas[step_indices].flatten()
+        while sigma.dim() < original_samples.dim():
+            sigma = sigma.unsqueeze(-1)
+        return original_samples + noise * sigma
+
+    def step(self, model_output: torch.Tensor, timestep,
+             sample: torch.Tensor, generator=None) -> DDIMSchedulerOutput:
+        assert self.config.prediction_type == "epsilon"
+        i = self._step_index(timestep)
+        sigma = self.sigmas[i]
+        # s_churn = 0 (the default, and the XL img2img configuration):
+        # gamma = 0, sigma_hat = sigma, no stochastic churn term.
+        pred_original_sample = sample - sigma * model_output
+        derivative = (sample - pred_original_sample) / sigma
+        dt = self.sigmas[i + 1] - sigma
+        prev_sample = sample + derivative * dt
+        return DDIMSchedulerOutput(prev_sample=prev_sample,
+                                   pred_original_sample=pred_original_sample)
+
+
 class DPMSolverMultistepScheduler(ConfigMixin):
     """Faithful torch transcription of diffusers-0.18
     DPMSolverMultistepScheduler at the configuration the reference selects

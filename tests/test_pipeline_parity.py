@@ -1025,15 +1025,22 @@ def _tiny_xl_refiner_pair():
 
 
 @pytest.mark.slow
-def test_sdxl_refiner_img2img_matches_shim():
+@pytest.mark.parametrize("integrator", ["euler", "ddim"])
+def test_sdxl_refiner_img2img_matches_shim(integrator):
     """lmdx sdxl_refine.img2img vs the shim transcription of the diffusers
     XL img2img pipeline the reference calls (sdxl_refinement.py:22-30):
     strength->t_start mapping, add_noise at the sliced grid head,
     aesthetic-score text_time ids (6.0 cond / 2.5 uncond), CFG at the XL
-    default guidance 5.0, DDIM tail — full final-latent parity on shared
-    tiny weights."""
+    default guidance 5.0 — full final-latent parity on shared tiny weights,
+    over BOTH integrators: EulerDiscrete (the refiner checkpoint's scheduler
+    config, lmdx's default for that bundle — sigma-space samples, scaled
+    model input, fractional linspace timesteps) and DDIM."""
     _load_reference_pipelines()  # installs the shim on sys.path
-    from diffusers import DDIMScheduler, StableDiffusionXLImg2ImgPipeline
+    from diffusers import (
+        DDIMScheduler,
+        EulerDiscreteScheduler,
+        StableDiffusionXLImg2ImgPipeline,
+    )
 
     from lmdx.methods import base as mbase
     from lmdx.methods import sdxl_refine
@@ -1049,7 +1056,8 @@ def test_sdxl_refiner_img2img_matches_shim():
 
     lat_lmdx = sdxl_refine.img2img(
         bundle, image, prompt, negative_prompt=negative, strength=strength,
-        num_inference_steps=steps, seed=seed, return_latents=True)
+        num_inference_steps=steps, seed=seed, return_latents=True,
+        scheduler=integrator)
 
     # Identical inputs for the torch side, produced by the same encoders.
     lat_shape = (1, 32 // bundle.config.vae_scale,
@@ -1064,8 +1072,10 @@ def test_sdxl_refiner_img2img_matches_shim():
     def _t(x):  # NHWC numpy/jax -> NCHW torch
         return torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2).copy())
 
+    shim_scheduler = (EulerDiscreteScheduler() if integrator == "euler"
+                      else DDIMScheduler())
     pipe = StableDiffusionXLImg2ImgPipeline(
-        unet=unet_fn, scheduler=DDIMScheduler(),
+        unet=unet_fn, scheduler=shim_scheduler,
         vae_encode=lambda img: _t(latents0),
         requires_aesthetics_score=True)
     lat_torch = pipe(

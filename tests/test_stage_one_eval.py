@@ -16,6 +16,32 @@ def run_eval(cache_path, model):
     return evaluate_stage_one("lmd", config, cache)
 
 
+def test_stage_one_golden_slice_fast_tier(ref_cache_gpt4, ref_cache_gpt35):
+    """Fast-tier slice of the published-numbers path: 10 prompts from each
+    task section (negation 0-9, numeracy 100-109, attribution 200-209,
+    spatial 300-309) through the full cache -> parse -> predicate pipeline,
+    asserting EXACT per-task counts. GPT-4 is 40/40; GPT-3.5's slice catches
+    one of its four published failures (spatial 9/10 — the 99.0% overall,
+    reference README.md:148-151). The full-400 runs stay in the slow tier
+    below; this keeps the default tier covering the golden path end to end."""
+    expected = {
+        "gpt-4": {0: ("negation", 10), 100: ("numeracy", 10),
+                  200: ("attribution", 10), 300: ("spatial", 10)},
+        "gpt-3.5-turbo": {0: ("negation", 10), 100: ("numeracy", 10),
+                          200: ("attribution", 10), 300: ("spatial", 9)},
+    }
+    caches = {"gpt-4": ref_cache_gpt4, "gpt-3.5-turbo": ref_cache_gpt35}
+    for model, slices in expected.items():
+        cache = LayoutCache(caches[model], allow_nonexist=False)
+        config = LLMConfig(model=model, api_key="unused")
+        for start, (task, successes) in slices.items():
+            report = evaluate_stage_one("lmd", config, cache,
+                                        skip_first_prompts=start,
+                                        num_prompts=10)
+            assert report.total_counts == {task: 10}, (model, start)
+            assert report.success_counts == {task: successes}, (model, start)
+
+
 @pytest.mark.slow
 def test_stage_one_gpt4_is_100_percent(ref_cache_gpt4):
     report = run_eval(ref_cache_gpt4, "gpt-4")
