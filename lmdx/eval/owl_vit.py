@@ -168,6 +168,7 @@ def eval_prompt(
     score_threshold: float = 0.15,
     nms_threshold: float = 0.15,
     use_class_aware_nms: bool = True,
+    top_k_pre_nms: int | None = None,
     verbose: bool = False,
 ) -> tuple[str, bool]:
     """Score one generated image against its benchmark prompt."""
@@ -176,7 +177,8 @@ def eval_prompt(
     detections = detector(image, text)
     return _score_detections(
         prompt, text, eval_info, detections, np.asarray(image).shape[:2],
-        score_threshold, nms_threshold, use_class_aware_nms, verbose)
+        score_threshold, nms_threshold, use_class_aware_nms, top_k_pre_nms,
+        verbose)
 
 
 def _score_detections(
@@ -188,11 +190,27 @@ def _score_detections(
     score_threshold: float = 0.15,
     nms_threshold: float = 0.15,
     use_class_aware_nms: bool = True,
+    top_k_pre_nms: int | None = None,
     verbose: bool = False,
 ) -> tuple[str, bool]:
     boxes, scores, labels = detections
     keep = scores >= score_threshold
     boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+
+    # Pre-NMS cap (score-sorted top-K). The reference protocol has no cap
+    # (eval.py:11-105) — but greedy NMS visits boxes in descending score
+    # order, so truncation can only change the report if a beyond-K box
+    # would have SURVIVED suppression by all K higher-scoring boxes; with
+    # real detector weights a handful of boxes pass the 0.15 threshold and
+    # the cap is inert. Its purpose is degenerate score distributions
+    # (random weights push ~576 boxes/image past the threshold and the
+    # O(N^2) host NMS dominates the measured eval wall — VERDICT r04).
+    # Report-equivalence vs the uncapped protocol is verified on any run
+    # used for published numbers (scripts/eval_cap_equivalence section in
+    # BASELINE.md).
+    if top_k_pre_nms and len(scores) > top_k_pre_nms:
+        top = np.argsort(-scores, kind="stable")[:top_k_pre_nms]
+        boxes, scores, labels = boxes[top], scores[top], labels[top]
 
     if use_class_aware_nms:
         boxes, scores, labels = class_aware_nms(boxes, scores, labels,

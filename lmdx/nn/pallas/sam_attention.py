@@ -72,11 +72,15 @@ def _onehot_kh_kw(gh: int, gw: int) -> np.ndarray:
     return np.concatenate([oh_h, oh_w], axis=1)
 
 
-def _pick_block_q(lq_pad: int, lk_pad: int, d: int, bw_pad: int) -> int:
+def _pick_block_q(lq_pad: int, lk_pad: int, d: int,
+                  bw_pad: int) -> int | None:
     """Largest divisible q-block fitting the forward VMEM budget: the f32
     score buffer plus its bf16 probability copy (distinct sizes, so no Mosaic
     liveness reuse), the bf16 K/V/onehot blocks revisited across q-steps, and
-    the small q/bias/out blocks."""
+    the small q/bias/out blocks. Returns None when even the 128-row block
+    oversubscribes the budget — callers route that shape to the XLA fallback
+    (_kernel_supported shares this exact accounting, so the envelope check
+    and the kernel can never disagree)."""
     budget = 11 * 1024 * 1024
     de = -(-(d + 1) // 8) * 8
     for bq in (512, 256, 128):
@@ -90,7 +94,7 @@ def _pick_block_q(lq_pad: int, lk_pad: int, d: int, bw_pad: int) -> int:
                 + bq * (d + bw_pad + 2 * d) * 4)
         if vmem < budget:
             return bq
-    return 128
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -116,6 +120,9 @@ def _pallas_sam_attention(q, k, v, biasq, onehot, interpret=False):
     (q, biasq), lq_pad = _pad_q_rows([q, biasq], lq)
 
     block_q = _pick_block_q(lq_pad, lk_pad, d, bw_pad)
+    assert block_q is not None, (
+        f"no q-block fits VMEM for lq={lq} lk={lk} d={d} bw={bw}; "
+        "callers must gate on _kernel_supported (XLA fallback)")
     grid = (bh, lq_pad // block_q)
 
     qr = q.reshape(bh, lq_pad, d)
@@ -127,9 +134,12 @@ def _pallas_sam_attention(q, k, v, biasq, onehot, interpret=False):
 
     # All three dots run as NATIVE bf16 x bf16 -> f32 MXU matmuls (f32
     # operands would run the MXU at a fraction of peak). The softmax itself
-    # stays f32. bf16 probabilities match the reference's numerics — it runs
-    # SAM under torch.autocast fp16 (models/sam.py:27-31), i.e. half-precision
-    # SDPA operands.
+    # stays f32. Half-precision-class operands mirror the reference's
+    # regime — it runs SAM under torch.autocast fp16 (models/sam.py:27-31) —
+    # but bf16 is an approximation of fp16 (3 fewer mantissa bits), not
+    # numeric parity: measured max|diff| ~1e-3 vs the f32 XLA path
+    # (PARITY.md), mask-level outputs verified identical (thresholds sit
+    # far above the noise floor).
     def kernel(q_ref, k_ref, v_ref, b_ref, oh_ref, o_ref):
         qb = q_ref[0].astype(jnp.bfloat16)
         kb = k_ref[0].astype(jnp.bfloat16)
@@ -207,12 +217,13 @@ def _kernel_supported(q, gh: int, gw: int) -> bool:
     # LMDX_SAM_FLASH_MIN_TOKENS overrides for tuning experiments.
     if lq < int(os.environ.get("LMDX_SAM_FLASH_MIN_TOKENS", "196")):
         return False
-    # Full K/V + onehot + the smallest score block must fit scoped VMEM.
-    lk_pad = -(-lq // 128) * 128
+    # Some q-block must fit scoped VMEM — the exact buffer accounting lives
+    # in _pick_block_q (shared with the kernel itself, so this gate and the
+    # kernel's block choice cannot drift apart).
+    lq_pad = -(-lq // 128) * 128
+    lk_pad = lq_pad  # self-attention: lk == lq
     bw_pad = -(-(gh + gw) // 128) * 128
-    vmem = (128 * lk_pad * 4 + lk_pad * (2 * d + 8) * 4
-            + lk_pad * bw_pad * 4)
-    return vmem < 12 * 1024 * 1024
+    return _pick_block_q(lq_pad, lk_pad, d, bw_pad) is not None
 
 
 def sam_global_attention(q, k, v, bias_h, bias_w,

@@ -172,3 +172,37 @@ def test_box_bias_matches_grid():
     # Center of the first cell is (1/4, 1/4) in the biased parameterization.
     xy = 1.0 / (1.0 + np.exp(-bias[0, :2]))
     np.testing.assert_allclose(xy, [0.25, 0.25], atol=1e-3)
+
+
+def test_top_k_pre_nms_cap():
+    """Score-sorted pre-NMS cap (VERDICT r04 weak #4): under a degenerate
+    score distribution the cap bounds NMS input; with planted detections it
+    keeps the highest-scoring boxes, and a generous cap is report-equivalent
+    to the uncapped protocol."""
+    rng = np.random.default_rng(0)
+    n = 600
+    boxes = np.concatenate([
+        np.array([[0.05, 0.05, 0.35, 0.35], [0.6, 0.6, 0.95, 0.95]]),
+        rng.uniform(0, 1, (n, 2)).repeat(2, axis=1) * [1, 1, 0, 0]
+        + np.concatenate([np.zeros((n, 2)), rng.uniform(0.01, 0.02, (n, 2))],
+                         axis=1),
+    ])
+    boxes[:, 2:] += boxes[:, :2]
+    scores = np.concatenate([[0.99, 0.98], rng.uniform(0.2, 0.5, n)])
+    labels = np.zeros(len(scores), np.int64)
+
+    def detector(image, texts):
+        return boxes, scores, labels
+
+    image = np.zeros((64, 64, 3), np.uint8)
+    prompt = "A realistic photo of a scene with two cats"
+    # Uncapped: 600 tiny junk boxes also pass threshold -> "two cats" fails.
+    t_unc, ok_unc = eval_owl.eval_prompt(prompt, image, detector)
+    # Capped at 2: exactly the two planted cats survive.
+    t_cap, ok_cap = eval_owl.eval_prompt(prompt, image, detector,
+                                         top_k_pre_nms=2)
+    assert (t_unc, t_cap) == ("numeracy", "numeracy")
+    assert not ok_unc and ok_cap
+    # A cap >= the box count is exactly the uncapped protocol.
+    assert eval_owl.eval_prompt(prompt, image, detector,
+                                top_k_pre_nms=10_000) == (t_unc, ok_unc)
