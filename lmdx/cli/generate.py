@@ -93,6 +93,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "0 = one class per distinct shape (default); "
                              "empty-layout batches are always their own "
                              "class")
+    parser.add_argument("--warm-ahead", action="store_true",
+                        help="batched mode: compile the NEXT shape class in "
+                             "a background thread while the current class's "
+                             "batches run on the chip. XLA compilation is "
+                             "host-CPU-bound and chip execution is not, so "
+                             "a cold run's wall drops from compile+compute "
+                             "toward max(compile, compute) + the first "
+                             "class's compile (measured in BASELINE.md). "
+                             "Outputs are unchanged; the warm thread runs "
+                             "one representative (discarded) batch per "
+                             "class into the shared jit cache")
     parser.add_argument("--mesh", default=None,
                         help="shard the batched pipeline over a device mesh: "
                              "'auto' (dp=all devices), 'dp=N', or 'dp=N,tp=M'."
@@ -659,6 +670,67 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
     pipeline = not args.no_pipeline_batches
     print(f"[batched] {len(jobs)} jobs, batch size {args.image_batch_size}"
           + (" (pipelined)" if pipeline else ""))
+
+    # --warm-ahead: one background thread walks the shape classes in the
+    # main loop's encounter order, running one representative batch per
+    # class (outputs discarded) so its sampler-scan compiles — host-CPU
+    # work — overlap the chip execution of the PREVIOUS class's batches.
+    # The main thread, on reaching a class the warm thread has claimed,
+    # waits for that class's event instead of compiling concurrently (two
+    # compiles of the same HLO on the one-core host would both slow down).
+    # The warm thread starts only after the first class compiles + its
+    # first batch dispatches (nothing to overlap before that).
+    def group_class_key(group, pads):
+        counts = [len(j["spec"]["gen_boxes"]) for j in group]
+        if pads:
+            return ("merged", pads["pad_boxes_to"], pads["pad_objs_to"],
+                    pads["pad_positions_to"], len(group))
+        if sum(counts) == 0:
+            return ("empty", len(group))
+        return ("natural", _flat_bucket(sum(counts)),
+                _pow2_bucket(max(counts)), len(group))
+
+    warm_events: dict = {}
+    warm_claimed: set = set()
+    if args.warm_ahead and bundle is not None:
+        import threading
+
+        class_reps: dict = {}
+        class_order: list = []
+        for group, pads in zip(groups, pad_plan):
+            key = group_class_key(group, pads)
+            if key not in class_reps:
+                class_reps[key] = (group, pads)
+                class_order.append(key)
+        first_dispatched = threading.Event()
+        if len(class_order) > 1:
+            warm_claimed = set(class_order[1:])
+            warm_events = {k: threading.Event() for k in warm_claimed}
+
+            def warm_worker():
+                first_dispatched.wait()
+                for key in class_order[1:]:
+                    g, pads_w = class_reps[key]
+                    t0 = time.perf_counter()
+                    try:
+                        run_batch_fn(
+                            [j["spec"] for j in g], bundle,
+                            bg_seeds=[j["bg_seed"] for j in g],
+                            fg_seed_starts=[j["fg_seed_start"] for j in g],
+                            segmenter=segmenter, **(pads_w or {}),
+                            **run_kwargs)
+                        print(f"[warm-ahead] {key}: "
+                              f"{time.perf_counter() - t0:.1f}s", flush=True)
+                    except Exception as e:  # main compiles it itself then
+                        print(f"[warm-ahead] {key} failed: {e}", flush=True)
+                    finally:
+                        warm_events[key].set()
+
+            threading.Thread(target=warm_worker, daemon=True,
+                             name="lmdx-warm-ahead").start()
+    else:
+        first_dispatched = None
+
     done = 0
     t_last = time.perf_counter()
     pending = None   # (group, results, pads, box_counts, n_real)
@@ -709,6 +781,16 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
     for group, pads in zip(groups, pad_plan):
         n_real = sum(1 for j in group if not j.get("pad"))
         box_counts = [len(j["spec"]["gen_boxes"]) for j in group]
+        key = group_class_key(group, pads)
+        if key in warm_claimed:
+            # Unblock the worker even if the first class's batch errored —
+            # otherwise waiting on class 2 would deadlock.
+            first_dispatched.set()
+            if not warm_events[key].is_set():
+                t0 = time.perf_counter()
+                warm_events[key].wait()
+                print(f"[batched] waited {time.perf_counter() - t0:.1f}s "
+                      f"for warm-ahead of {key}", flush=True)
         failed = False
         try:
             results = run_batch_fn(
@@ -717,6 +799,8 @@ def run_batched(args, run_kwargs, cache, prompts, save_dir, bundle,
                 fg_seed_starts=[j["fg_seed_start"] for j in group],
                 segmenter=segmenter, defer_fetch=pipeline,
                 **(pads or {}), **run_kwargs)
+            if first_dispatched is not None:
+                first_dispatched.set()
         except KeyboardInterrupt:
             raise
         except Exception as e:

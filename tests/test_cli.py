@@ -421,3 +421,40 @@ def test_plan_shape_classes_greedy_matches_constraints():
     for g, p in zip(groups, merged):
         assert p["pad_boxes_to"] >= sum(g)
         assert p["pad_objs_to"] >= max(g)
+
+
+@pytest.mark.slow
+def test_generate_warm_ahead_outputs_identical(tmp_path, capsys):
+    """--warm-ahead (compile the next shape class in a background thread
+    while the current class runs) must be output-inert: the demo cache's 3
+    prompts at --image-batch-size 2 split into a G=2 group and a G=1 tail
+    group — distinct shape classes, so the warm thread claims and
+    pre-compiles the second; every img_0.png must be byte-identical to the
+    plain run's."""
+    if not os.path.exists(DEMO_CACHE):
+        pytest.skip("reference demo cache not present")
+
+    argv = [
+        "--prompt-type", "demo", "--model", "gpt-4",
+        "--template_version", "v0.1", "--run-model", "lmd_plus",
+        "--cache-path", DEMO_CACHE, "--sd-model", "tiny-test",
+        "--image-batch-size", "2", "--num_inference_steps", "4",
+        "--max_index_step", "0", "--overall_max_index_step", "1",
+    ]
+    assert gen_cli.main(argv + ["--save-dir", str(tmp_path / "plain"),
+                                "--force_run_ind", "0"]) == 0
+    capsys.readouterr()
+    assert gen_cli.main(argv + ["--save-dir", str(tmp_path / "warm"),
+                                "--force_run_ind", "0",
+                                "--warm-ahead"]) == 0
+    out = capsys.readouterr().out
+    assert "[warm-ahead]" in out  # the thread actually warmed something
+
+    plain_root = tmp_path / "plain" / "templatev0.1_lmd_plus_demo" / "run0"
+    warm_root = tmp_path / "warm" / "templatev0.1_lmd_plus_demo" / "run0"
+    images = sorted(p.relative_to(plain_root)
+                    for p in plain_root.rglob("img_*.png"))
+    assert len(images) == 3
+    for rel in images:
+        assert (plain_root / rel).read_bytes() == (
+            warm_root / rel).read_bytes(), rel
