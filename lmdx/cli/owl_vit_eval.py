@@ -52,14 +52,18 @@ def main(argv=None) -> int:
                              "protocol preprocessing on runs used for "
                              "published numbers, or re-verify the two "
                              "reports agree as in BASELINE.md")
-    parser.add_argument("--top-k-pre-nms", default=100, type=int,
+    parser.add_argument("--top-k-pre-nms", default=0, type=int,
                         help="score-sorted detection cap before NMS "
                              "(0 = uncapped, the literal reference "
-                             "protocol). Inert with real weights (a "
-                             "handful of boxes pass the 0.15 threshold); "
-                             "bounds the O(N^2) host NMS under degenerate "
-                             "score distributions. Equivalence vs "
-                             "uncapped is re-verified on published runs")
+                             "protocol — the default). Inert with real "
+                             "weights (a handful of boxes pass the 0.15 "
+                             "threshold); opt-in bound on host NMS under "
+                             "degenerate score distributions. NOT "
+                             "report-equivalent when active: with random "
+                             "weights the round-5 400-image run scored "
+                             "67/400 capped at 100 vs 75/400 uncapped, "
+                             "at the same wall (vectorized NMS, "
+                             "BASELINE.md round-5 eval section)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")

@@ -197,17 +197,16 @@ def _score_detections(
     keep = scores >= score_threshold
     boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
 
-    # Pre-NMS cap (score-sorted top-K). The reference protocol has no cap
-    # (eval.py:11-105) — but greedy NMS visits boxes in descending score
-    # order, so truncation can only change the report if a beyond-K box
-    # would have SURVIVED suppression by all K higher-scoring boxes; with
-    # real detector weights a handful of boxes pass the 0.15 threshold and
-    # the cap is inert. Its purpose is degenerate score distributions
-    # (random weights push ~576 boxes/image past the threshold and the
-    # O(N^2) host NMS dominates the measured eval wall — VERDICT r04).
-    # Report-equivalence vs the uncapped protocol is verified on any run
-    # used for published numbers (scripts/eval_cap_equivalence section in
-    # BASELINE.md).
+    # Pre-NMS cap (score-sorted top-K), OPT-IN (off by default — the
+    # reference protocol has no cap, eval.py:11-105). Greedy NMS visits
+    # boxes in descending score order, so truncation only changes the
+    # report if a beyond-K box would have SURVIVED suppression by all K
+    # higher-scoring boxes — rare but real: measured on the round-5
+    # 400-image random-weights run, capping at 100 flipped 8/400 verdicts
+    # (67 vs 75 successes) at the SAME wall (the vectorized NMS below is
+    # not the bottleneck even at ~576 boxes/image). With real detector
+    # weights a handful of boxes pass the 0.15 threshold and the cap is
+    # inert either way. See BASELINE.md round-5 eval section.
     if top_k_pre_nms and len(scores) > top_k_pre_nms:
         top = np.argsort(-scores, kind="stable")[:top_k_pre_nms]
         boxes, scores, labels = boxes[top], scores[top], labels[top]
