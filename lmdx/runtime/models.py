@@ -84,11 +84,29 @@ def cast_params_for_inference(params: dict, dtype) -> dict:
     return walk(params, False)
 
 
-def _random_init_params(module, rng, *args, **kwargs):
+def _storage_cast_enabled(config: SDConfig) -> bool:
+    return (config.jnp_dtype() == jnp.bfloat16
+            and os.environ.get("LMDX_PARAM_STORAGE", "compute") != "float32")
+
+
+def _random_init_params(module, rng, *args, storage_dtype=None, **kwargs):
     # Jit the whole init: executed eagerly, a full-SD init dispatches ~10^3
     # individual ops, which is pathologically slow over the remote-TPU
     # tunnel (each eager dispatch is a round trip).
-    return jax.jit(module.init)(rng, *args, **kwargs)["params"]
+    #
+    # storage_dtype fuses the inference-storage cast INTO the init program:
+    # casting afterwards in a separate jit holds the full f32 tree and the
+    # cast tree live at once — at SDXL-refiner scale that is ~18 GiB and
+    # OOMs the 16 GiB chip (observed round 5). Fused, XLA frees each f32
+    # param as soon as its cast consumes it, so peak ≈ the cast tree.
+    if storage_dtype is None:
+        return jax.jit(module.init)(rng, *args, **kwargs)["params"]
+
+    def init_cast(rng, *a, **kw):
+        return cast_params_for_inference(
+            module.init(rng, *a, **kw)["params"], storage_dtype)
+
+    return jax.jit(init_cast)(rng, *args, **kwargs)
 
 
 @functools.partial(jax.jit, static_argnames=("module", "eos_token_id"))
@@ -123,8 +141,13 @@ def build_text_encoder_2(config: SDConfig) -> CLIPTextEncoder | None:
     return CLIPTextEncoder(config.clip2, dtype=config.jnp_dtype())
 
 
-def init_random_params(config: SDConfig, seed: int = 0) -> dict:
-    """Deterministic random params for weightless operation."""
+def init_random_params(config: SDConfig, seed: int = 0,
+                       storage_dtype=None) -> dict:
+    """Deterministic random params for weightless operation.
+
+    storage_dtype: fuse the inference-storage cast into each component's
+    init program (see _random_init_params) — values are identical to
+    casting afterwards (same f32 RNG draws, same round-to-nearest)."""
     unet, text_encoder, vae, position_net = build_modules(config)
     h, w = config.latent_height, config.latent_width
     d = config.unet.cross_attention_dim
@@ -147,22 +170,24 @@ def init_random_params(config: SDConfig, seed: int = 0) -> dict:
             "added_text_embeds": jnp.zeros((1, pooled_dim), jnp.float32),
             "added_time_ids": jnp.zeros((1, num_ids), jnp.float32),
         }
+    sd = storage_dtype
     params = {
         "unet": _random_init_params(unet, k_unet, latents, jnp.zeros((1,), jnp.int32),
-                                    text, objs=objs, **added),
+                                    text, objs=objs, storage_dtype=sd, **added),
         "text": _random_init_params(
             text_encoder, k_text,
-            jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32),
+            jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32), storage_dtype=sd,
         ),
         # Init through the full encode+decode round-trip so both halves (and
         # the quant convs) get parameters.
-        "vae": _random_init_params(vae, k_vae, jnp.zeros((1, 64, 64, 3), jnp.float32)),
+        "vae": _random_init_params(vae, k_vae, jnp.zeros((1, 64, 64, 3), jnp.float32),
+                                   storage_dtype=sd),
     }
     text_encoder_2 = build_text_encoder_2(config)
     if text_encoder_2 is not None:
         params["text2"] = _random_init_params(
             text_encoder_2, jax.random.fold_in(key, 5),
-            jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32),
+            jnp.zeros((1, toklib.MAX_LENGTH), jnp.int32), storage_dtype=sd,
         )
     if position_net is not None:
         params["position_net"] = _random_init_params(
@@ -171,6 +196,7 @@ def init_random_params(config: SDConfig, seed: int = 0) -> dict:
             jnp.zeros((1, config.unet.gligen_max_objs), jnp.float32),
             jnp.zeros((1, config.unet.gligen_max_objs, config.clip.hidden_size),
                       jnp.float32),
+            storage_dtype=sd,
         )
     return params
 
@@ -225,13 +251,22 @@ def load_bundle(
                 "set LMDX_ALLOW_WORD_TOKENIZER=1 to override for debugging."
             )
         params = convert.load_checkpoint(config, checkpoint_dir)
+        if _storage_cast_enabled(config):
+            # Host-side cast BEFORE upload: casting on device holds the f32
+            # and bf16 trees live at once (~18 GiB at SDXL scale — OOMs the
+            # 16 GiB chip), and uploading f32 costs 2× the tunnel time of
+            # the bf16 tree it immediately becomes. The converters return
+            # host numpy; numpy .astype(ml_dtypes.bfloat16) rounds
+            # to-nearest-even exactly like the on-device convert.
+            params = cast_params_for_inference(params, jnp.bfloat16)
+        params = jax.device_put(params)
     else:
-        params = init_random_params(config, seed=seed)
-
-    if (config.jnp_dtype() == jnp.bfloat16
-            and os.environ.get("LMDX_PARAM_STORAGE", "compute") != "float32"):
-        params = jax.jit(
-            lambda p: cast_params_for_inference(p, jnp.bfloat16))(params)
+        # Fused init+cast (see _random_init_params): never materializes the
+        # full f32 tree on device.
+        params = init_random_params(
+            config, seed=seed,
+            storage_dtype=(jnp.bfloat16 if _storage_cast_enabled(config)
+                           else None))
 
     return ModelBundle(
         config=config,

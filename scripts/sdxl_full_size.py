@@ -39,6 +39,16 @@ from lmdx.runtime import jit_cache
 jit_cache.enable()
 
 
+def param_summary(tree) -> str:
+    leaves = jax.tree_util.tree_leaves(tree)
+    n = sum(int(np.prod(p.shape)) for p in leaves)
+    by = {}
+    for p in leaves:
+        by[str(p.dtype)] = by.get(str(p.dtype), 0) + p.nbytes
+    parts = ", ".join(f"{k} {v / 2**30:.2f} GiB" for k, v in sorted(by.items()))
+    return f"UNet params {n / 1e9:.2f}B: {parts}"
+
+
 def hbm(label: str) -> None:
     dev = jax.devices()[0]
     try:
@@ -100,10 +110,8 @@ def phase_a(args) -> None:
     refiner = load_bundle("stabilityai/stable-diffusion-xl-refiner-1.0",
                           seed=0)
     jax.block_until_ready(refiner.params["unet"])
-    n_params = sum(int(np.prod(p.shape))
-                   for p in jax.tree_util.tree_leaves(refiner.params["unet"]))
     print(f"SDXL-refiner bundle init: {time.monotonic() - t0:.1f}s "
-          f"(UNet params {n_params / 1e9:.2f}B, stored f32)", flush=True)
+          f"({param_summary(refiner.params['unet'])})", flush=True)
     hbm("after refiner bundle")
 
     for label, seed in (("first", 11), ("steady", 12)):
@@ -136,10 +144,8 @@ def phase_b(args) -> None:
     t0 = time.monotonic()
     bundle = load_bundle("stabilityai/stable-diffusion-xl-base-1.0", seed=0)
     jax.block_until_ready(bundle.params["unet"])
-    n_params = sum(int(np.prod(p.shape))
-                   for p in jax.tree_util.tree_leaves(bundle.params["unet"]))
     print(f"SDXL-base bundle init: {time.monotonic() - t0:.1f}s "
-          f"(UNet params {n_params / 1e9:.2f}B, stored f32)", flush=True)
+          f"({param_summary(bundle.params['unet'])})", flush=True)
     hbm("after base bundle")
 
     cfg = bundle.config
