@@ -53,6 +53,10 @@ def hbm(label: str) -> None:
     dev = jax.devices()[0]
     try:
         stats = dev.memory_stats()
+        if stats is None:  # axon PJRT client reports no memory stats
+            print(f"[hbm] {label}: memory_stats unavailable on this client",
+                  flush=True)
+            return
         used = stats.get("bytes_in_use", 0) / 2**30
         peak = stats.get("peak_bytes_in_use", 0) / 2**30
         limit = stats.get("bytes_limit", 0) / 2**30
@@ -179,10 +183,15 @@ def main() -> None:
     ap.add_argument("--steps-base", type=int, default=20)
     ap.add_argument("--skip-lmd", action="store_true")
     ap.add_argument("--skip-base", action="store_true")
+    ap.add_argument("--only-base", action="store_true",
+                    help="run phase B alone in a fresh process: at 16 GiB "
+                         "HBM the base bundle + 1024^2 decode does not fit "
+                         "alongside phase A's residue")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
-    phase_a(args)
+    if not args.only_base:
+        phase_a(args)
     if not args.skip_base:
         phase_b(args)
     print("sdxl_full_size: done", flush=True)
